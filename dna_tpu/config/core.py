@@ -1,0 +1,210 @@
+"""Typed dataclass config system with dotted-path overrides.
+
+Replaces the reference's Hydra/OmegaConf stack (`configs/` + `train.py:47-48`
+resolvers). Experiments are Python functions returning an `ExperimentConfig`;
+CLI overrides are `a.b.c=value` strings applied onto the dataclass tree, so
+there is no arbitrary-`eval` escape hatch (the reference's `eval` resolver
+even shells out to nvidia-smi — `configs/experiment/hg38/hg38_hyena.yaml:97`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+
+def _parse_scalar(s: str) -> Any:
+    """Parse a CLI override value: JSON first, then bool/None literals, else str."""
+    low = s.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none"):
+        return None
+    try:
+        return json.loads(s)
+    except (json.JSONDecodeError, ValueError):
+        return s
+
+
+def apply_overrides(cfg: Any, overrides: List[str]) -> Any:
+    """Apply `a.b.c=value` overrides to a (possibly nested) dataclass, returning
+    a new instance (dataclasses are treated immutably)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} must be key=value")
+        key, _, raw = ov.partition("=")
+        cfg = _set_path(cfg, key.strip().split("."), _parse_scalar(raw.strip()))
+    return cfg
+
+
+def _set_path(obj: Any, path: List[str], value: Any) -> Any:
+    name = path[0]
+    if is_dataclass(obj):
+        if not hasattr(obj, name):
+            raise AttributeError(f"{type(obj).__name__} has no field {name!r}")
+        cur = getattr(obj, name)
+        new = value if len(path) == 1 else _set_path(cur, path[1:], value)
+        return dataclasses.replace(obj, **{name: new})
+    if isinstance(obj, dict):
+        cur = obj.get(name)
+        new = value if len(path) == 1 else _set_path(cur, path[1:], value)
+        out = dict(obj)
+        out[name] = new
+        return out
+    raise TypeError(f"cannot descend into {type(obj)} at {name!r}")
+
+
+def to_dict(cfg: Any) -> Any:
+    if is_dataclass(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in fields(cfg)}
+    if isinstance(cfg, dict):
+        return {k: to_dict(v) for k, v in cfg.items()}
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(v) for v in cfg]
+    return cfg
+
+
+def pretty(cfg: Any) -> str:
+    return json.dumps(to_dict(cfg), indent=2, default=str)
+
+
+# ---------------------------------------------------------------------------
+# Config groups (mirroring the reference's Hydra groups, SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. Axis sizes of -1 mean "use all remaining devices".
+
+    Axes:
+      dp   — pure data parallel (params replicated, grads psum)
+      fsdp — data parallel with params/optimizer sharded (ZeRO-3 analog)
+      tp   — tensor parallel (heads/mlp/vocab sharded); Megatron-style
+             sequence parallelism reuses this axis for norm/dropout regions
+      pp   — pipeline parallel (stage dimension over layers)
+      sp   — sequence/context parallel (activations sharded along L)
+    """
+
+    dp: int = -1
+    fsdp: int = 1
+    tp: int = 1
+    pp: int = 1
+    sp: int = 1
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    name: str = "adamw"
+    lr: float = 5e-4
+    weight_decay: float = 1e-5
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    # Per-layer learning-rate decay (reference `train.py:489-523`).
+    layer_decay: Optional[float] = None
+    grad_clip: Optional[float] = 1.0
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    name: str = "cosine_warmup"  # cosine_warmup | linear_warmup | constant | invsqrt
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    min_lr_ratio: float = 0.0
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic_mlm"
+    tokenizer: str = "char"  # char | bpe | kmer
+    tokenizer_path: Optional[str] = None
+    fasta_path: Optional[str] = None
+    bed_path: Optional[str] = None
+    max_length: int = 128
+    batch_size: int = 256  # global batch size (across all data-parallel replicas)
+    mlm_probability: float = 0.15
+    random_token_prob: float = 0.1
+    unchanged_token_prob: float = 0.1
+    rc_aug: bool = False
+    num_samples: int = 1 << 16  # synthetic epoch size
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Union-ish model config; `name` picks the flax module from the registry,
+    unused fields are ignored by other families."""
+
+    name: str = "dnabert2"
+    vocab_size: int = 4096
+    d_model: int = 768
+    n_layers: int = 12
+    n_heads: int = 12
+    d_ff: int = 3072
+    max_len: int = 512
+    dropout: float = 0.0
+    dtype: str = "bfloat16"  # compute dtype; params always f32
+    # hyena
+    hyena_order: int = 2
+    hyena_filter_order: int = 64
+    hyena_filter_emb_dim: int = 33
+    short_filter_len: int = 3
+    # mamba / caduceus
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    bidirectional: bool = True
+    bidirectional_strategy: str = "add"  # add | ew_multiply
+    rcps: bool = False
+    # classification / regression heads
+    n_classes: int = 2
+    pool: str = "mean"  # mean | last | first | sum
+    # attention
+    use_flash: bool = True
+    rotary: bool = False
+    alibi: bool = True
+    # misc
+    tie_embeddings: bool = True
+    norm_eps: float = 1e-12
+    pad_token_id: int = 3
+    remat: bool = False
+
+
+@dataclass(frozen=True)
+class TaskConfig:
+    name: str = "mlm"  # mlm | lm | multiclass | multilabel | regression
+    metrics: Tuple[str, ...] = ()
+    ignore_index: int = -100
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    steps: int = 1000
+    eval_every: int = 0  # 0 = no eval
+    eval_steps: int = 10
+    log_every: int = 50
+    checkpoint_every: int = 0
+    checkpoint_dir: Optional[str] = None
+    resume: bool = True
+    seed: int = 2222  # reference fixed seed (`long_conv_lm.py:270-318`)
+    ema: float = 0.0
+    # Staged sequence-length warmup: tuple of (seq_len, batch_size, steps).
+    seqlen_stages: Tuple[Tuple[int, int, int], ...] = ()
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "experiment"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    task: TaskConfig = field(default_factory=TaskConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Transfer learning: load a pretrained backbone, keep head at scratch
+    # (reference `load_backbone` hook, `long_conv_lm.py:853-911`).
+    pretrained_backbone: Optional[str] = None
+    freeze_backbone: bool = False

@@ -1,0 +1,120 @@
+"""Named experiments and the wiring harness.
+
+The reference's Hydra experiment groups (`configs/experiment/...`) become
+registered Python functions returning `ExperimentConfig`; `build(cfg)` does
+the auto-wiring the reference spreads across `SequenceLightningModule.setup`
+(`train.py:162-214`) and the encoder/decoder attr tables
+(`src/tasks/encoders.py:311-331`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import replace
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dna_tpu import registry
+from dna_tpu.config.core import (
+    DataConfig,
+    ExperimentConfig,
+    MeshConfig,
+    ModelConfig,
+    OptimizerConfig,
+    SchedulerConfig,
+    TaskConfig,
+    TrainConfig,
+)
+from dna_tpu.data.tokenizers import get_tokenizer
+
+
+# --------------------------------------------------------------------------
+# Named experiments (reference `configs/experiment/` equivalents)
+# --------------------------------------------------------------------------
+
+
+@registry.experiment.register("dnabert2_pretrain")
+def dnabert2_pretrain() -> ExperimentConfig:
+    """DNABERT-2-117M MLM pretrain — the north-star workload (reference
+    `configs/experiment/dnabert2/dnabert2_hg38_pretrain.yaml`)."""
+    return ExperimentConfig(
+        name="dnabert2_pretrain",
+        model=ModelConfig(name="dnabert2", vocab_size=4096, d_model=768,
+                          n_layers=12, n_heads=12, d_ff=3072, alibi=True),
+        data=DataConfig(dataset="synthetic_mlm", tokenizer="bpe", max_length=128,
+                        batch_size=512, mlm_probability=0.15),
+        task=TaskConfig(name="mlm"),
+        optimizer=OptimizerConfig(name="adamw", lr=5e-4, weight_decay=1e-5),
+        scheduler=SchedulerConfig(name="linear_warmup", warmup_steps=120_000,
+                                  total_steps=2_000_000),
+        train=TrainConfig(steps=1000),
+    )
+
+
+@registry.experiment.register("dnabert2_pretrain_tiny")
+def dnabert2_pretrain_tiny() -> ExperimentConfig:
+    cfg = dnabert2_pretrain()
+    return replace(
+        cfg,
+        name="dnabert2_pretrain_tiny",
+        model=replace(cfg.model, d_model=128, n_layers=2, n_heads=4, d_ff=256),
+        data=replace(cfg.data, batch_size=16, max_length=64, num_samples=1024,
+                     tokenizer="char"),
+        scheduler=replace(cfg.scheduler, warmup_steps=10, total_steps=200),
+        train=replace(cfg.train, steps=50),
+    )
+
+
+def _model_vocab_for_tokenizer(mcfg: ModelConfig, tokenizer) -> ModelConfig:
+    """Auto-wire vocab size / pad id from the tokenizer (reference
+    encoder `dataset_attrs` table semantics)."""
+    vocab = max(tokenizer.vocab_size, 8)
+    # round vocab up to a lane-friendly multiple for the MXU
+    vocab = ((vocab + 127) // 128) * 128 if vocab > 128 else vocab
+    return replace(mcfg, vocab_size=max(mcfg.vocab_size, vocab),
+                   pad_token_id=tokenizer.pad_token_id)
+
+
+@dataclasses.dataclass
+class Experiment:
+    """Everything `train.loop` needs, fully wired."""
+
+    cfg: ExperimentConfig
+    tokenizer: Any
+    dataset: Any
+    model: Any
+    task_fn: Any
+    tx: Any
+    schedule: Any
+    mesh: Any
+    rules: Any
+
+
+def build(cfg: ExperimentConfig, mesh=None) -> Experiment:
+    from dna_tpu.parallel.mesh import build_mesh, logical_rules
+    from dna_tpu.train.optim import build_optimizer
+    import dna_tpu.models  # noqa: F401 — populate registries
+    import dna_tpu.data  # noqa: F401
+    import dna_tpu.train  # noqa: F401
+
+    tokenizer = get_tokenizer(cfg.data.tokenizer, cfg.data.tokenizer_path)
+    mcfg = _model_vocab_for_tokenizer(cfg.model, tokenizer)
+    dataset = registry.dataset[cfg.data.dataset](tokenizer, cfg.data)
+    model = registry.model[mcfg.name](mcfg)
+    task_fn = registry.task[cfg.task.name]
+    tx, schedule = build_optimizer(cfg.optimizer, cfg.scheduler)
+    if mesh is None:
+        mesh = build_mesh(cfg.mesh)
+    return Experiment(
+        cfg=replace(cfg, model=mcfg), tokenizer=tokenizer, dataset=dataset,
+        model=model, task_fn=task_fn, tx=tx, schedule=schedule, mesh=mesh,
+        rules=logical_rules())
+
+
+def get_experiment(name: str, overrides=()) -> ExperimentConfig:
+    from dna_tpu.config.core import apply_overrides
+
+    cfg = registry.experiment[name]()
+    return apply_overrides(cfg, list(overrides))

@@ -1,0 +1,170 @@
+"""DNABERT-2 family: MosaicBERT-style ALiBi encoder, TPU-native.
+
+Re-design of the reference's `src/models/DNABERT2/bert_layers.py` semantics:
+  * token + (optional) type embeddings, **no** position embeddings — ALiBi
+    (`bert_layers.py:95-108`)
+  * post-LN blocks: attn → dense+dropout+LN(residual) (`:204-218`), then
+    GLU MLP → dropout → wo → LN(residual) (`:256-303`)
+  * attention bias = ALiBi + additive pad mask (`:423-451`)
+  * MLM head: dense+gelu+LN transform, tied decoder (`:817-833`)
+
+Deliberate TPU departures (SURVEY §7.3): no unpad/repad — shapes stay static
+[B, S] and padding is handled by the additive mask inside the attention
+kernel; ALiBi is regenerated in-kernel from slopes instead of materialized.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dna_tpu import registry
+from dna_tpu.config.core import ModelConfig
+from dna_tpu.models.layers import (
+    GLUMlp,
+    SequencePool,
+    TokenEmbed,
+    default_kernel_init,
+    dense,
+    layer_norm,
+)
+from dna_tpu.ops.attention import multihead_attention
+
+
+class BertSelfAttention(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, attention_mask: Optional[jax.Array],
+                 *, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        head_dim = cfg.d_model // cfg.n_heads
+        qkv = dense(3 * cfg.d_model, ("embed", "heads"), dtype=dtype,
+                    name="wqkv")(x)
+        qkv = qkv.reshape(x.shape[0], x.shape[1], 3, cfg.n_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        impl = "auto" if cfg.use_flash else "ref"
+        out = multihead_attention(
+            q, k, v, attention_mask=attention_mask, alibi=cfg.alibi,
+            causal=False, impl=impl)
+        out = out.reshape(x.shape[0], x.shape[1], cfg.d_model)
+        out = nn.with_logical_constraint(out, ("batch", "seq", "act_embed"))
+        return dense(cfg.d_model, ("heads", "embed"), dtype=dtype, name="out")(out)
+
+
+class BertLayer(nn.Module):
+    """Post-LN Mosaic block: attention sublayer then GLU-MLP sublayer."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, attention_mask: Optional[jax.Array],
+                 *, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        attn = BertSelfAttention(cfg, name="attention")(
+            x, attention_mask, deterministic=deterministic)
+        if cfg.dropout > 0.0:
+            attn = nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
+        x = layer_norm(eps=cfg.norm_eps, name="attn_ln")(attn + x).astype(attn.dtype)
+        mlp = GLUMlp(cfg.d_ff, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
+                     dropout=cfg.dropout, name="mlp")(x, deterministic=deterministic)
+        x = layer_norm(eps=cfg.norm_eps, name="mlp_ln")(mlp + x).astype(mlp.dtype)
+        return x
+
+
+class BertEncoder(nn.Module):
+    """Embeddings + n_layers of BertLayer. Returns final hidden states."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        self.embed = TokenEmbed(cfg.vocab_size, cfg.d_model, dtype=dtype)
+        self.embed_ln = layer_norm(eps=cfg.norm_eps)
+        if cfg.dropout > 0.0:
+            self.embed_dropout = nn.Dropout(cfg.dropout)
+        BlockCls = BertLayer
+        if cfg.remat:
+            BlockCls = nn.remat(BertLayer, static_argnums=(), prevent_cse=False)
+        self.layers = [BlockCls(cfg, name=f"layer_{i}")
+                       for i in range(cfg.n_layers)]
+
+    def __call__(self, input_ids: jax.Array,
+                 attention_mask: Optional[jax.Array] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        x = self.embed(input_ids)
+        x = self.embed_ln(x).astype(jnp.dtype(cfg.dtype))
+        if cfg.dropout > 0.0:
+            x = self.embed_dropout(x, deterministic=deterministic)
+        for layer in self.layers:
+            x = layer(x, attention_mask, deterministic=deterministic)
+        return x
+
+
+class BertForMLM(nn.Module):
+    """Masked-LM model. Returns full-vocab logits [B, S, V] in fp32; the task
+    layer applies the masked-position CE (`bert_cross_entropy` contract,
+    reference `metrics.py:268-273`)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.encoder = BertEncoder(self.cfg, name="bert")
+        cfg = self.cfg
+        self.transform = dense(cfg.d_model, ("embed", "embed_out"),
+                               dtype=jnp.dtype(cfg.dtype), name="transform")
+        self.transform_ln = layer_norm(eps=cfg.norm_eps, name="transform_ln")
+        if cfg.tie_embeddings:
+            self.decoder_bias = self.param(
+                "decoder_bias",
+                nn.with_logical_partitioning(nn.initializers.zeros, ("vocab",)),
+                (cfg.vocab_size,), jnp.float32)
+        else:
+            self.decoder = dense(cfg.vocab_size, ("embed", "vocab"),
+                                 dtype=jnp.float32, name="decoder")
+
+    def __call__(self, input_ids: jax.Array,
+                 attention_mask: Optional[jax.Array] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        h = self.encoder(input_ids, attention_mask, deterministic=deterministic)
+        h = self.transform(h)
+        h = nn.gelu(h, approximate=False)
+        h = self.transform_ln(h)
+        if self.cfg.tie_embeddings:
+            logits = self.encoder.embed.attend(h) + self.decoder_bias
+        else:
+            logits = self.decoder(h).astype(jnp.float32)
+        return nn.with_logical_constraint(logits, ("batch", "seq", "vocab"))
+
+
+class BertForSequenceClassification(nn.Module):
+    """Encoder + pool + linear head (reference
+    `bert_layers.py:881` `BertForSequenceClassification`)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array,
+                 attention_mask: Optional[jax.Array] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        h = BertEncoder(self.cfg, name="bert")(
+            input_ids, attention_mask, deterministic=deterministic)
+        pooled = SequencePool(self.cfg.pool)(h, attention_mask)
+        return dense(self.cfg.n_classes, ("embed", "vocab"), dtype=jnp.float32,
+                     name="score")(pooled.astype(jnp.float32))
+
+
+@registry.model.register("dnabert2")
+def _dnabert2(cfg: ModelConfig):
+    return BertForMLM(cfg)
+
+
+@registry.model.register("dnabert2_cls")
+def _dnabert2_cls(cfg: ModelConfig):
+    return BertForSequenceClassification(cfg)

@@ -1,0 +1,141 @@
+"""Shared flax modules: partitioned dense layers, GLU MLP, embeddings, pooling.
+
+All parameters carry *logical* axis names (mapped to mesh axes by
+`dna_tpu.parallel.mesh.DEFAULT_RULES`), so tensor/fsdp parallelism is pure
+annotation — XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+default_kernel_init = nn.initializers.normal(stddev=0.02)
+
+
+def dense(features: int, axes: Tuple[str, str], *, use_bias: bool = True,
+          dtype=jnp.bfloat16, name: Optional[str] = None,
+          kernel_init: Callable = default_kernel_init) -> nn.Dense:
+    """nn.Dense with logical partitioning on kernel/bias."""
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.with_logical_partitioning(kernel_init, axes),
+        bias_init=nn.with_logical_partitioning(nn.initializers.zeros, (axes[1],)),
+        name=name,
+    )
+
+
+def layer_norm(*, eps: float = 1e-12, dtype=jnp.float32, name=None) -> nn.LayerNorm:
+    # Norms run in fp32; scale/bias replicated.
+    return nn.LayerNorm(
+        epsilon=eps, dtype=dtype, param_dtype=jnp.float32,
+        scale_init=nn.with_logical_partitioning(nn.initializers.ones, ("act_embed",)),
+        bias_init=nn.with_logical_partitioning(nn.initializers.zeros, ("act_embed",)),
+        name=name)
+
+
+def rms_norm(*, eps: float = 1e-5, dtype=jnp.float32, name=None) -> nn.RMSNorm:
+    return nn.RMSNorm(
+        epsilon=eps, dtype=dtype, param_dtype=jnp.float32,
+        scale_init=nn.with_logical_partitioning(nn.initializers.ones, ("act_embed",)),
+        name=name)
+
+
+class TokenEmbed(nn.Module):
+    """Token embedding with vocab-sharded table; returns [B, S, D]."""
+
+    vocab_size: int
+    d_model: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        table = self.param(
+            "embedding",
+            nn.with_logical_partitioning(default_kernel_init, ("vocab", "embed")),
+            (self.vocab_size, self.d_model), jnp.float32)
+        out = jnp.take(table, ids, axis=0).astype(self.dtype)
+        return nn.with_logical_constraint(out, ("batch", "seq", "act_embed"))
+
+    def attend(self, x: jax.Array) -> jax.Array:
+        """Tied-decoder logits: x @ embeddingᵀ."""
+        table = self.get_variable("params", "embedding")
+        if hasattr(table, "unbox"):
+            table = table.unbox()
+        return jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32), table,
+                          preferred_element_type=jnp.float32)
+
+
+class GLUMlp(nn.Module):
+    """Gated-linear-unit MLP (MosaicBERT's `BertGatedLinearUnitMLP`,
+    reference `bert_layers.py:256-303`): one fused [D → 2F] projection split
+    into gate/value, gelu(gate)*value, project back. Residual+post-LN are
+    handled by the caller."""
+
+    d_ff: int
+    d_model: int
+    dtype: Dtype = jnp.bfloat16
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        gated = dense(2 * self.d_ff, ("embed", "mlp"), use_bias=False,
+                      dtype=self.dtype, name="wi")(x)
+        gate, value = jnp.split(gated, 2, axis=-1)
+        h = nn.gelu(gate, approximate=False) * value
+        h = nn.with_logical_constraint(h, ("batch", "seq", "mlp"))
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        out = dense(self.d_model, ("mlp", "embed"), dtype=self.dtype, name="wo")(h)
+        return nn.with_logical_constraint(out, ("batch", "seq", "act_embed"))
+
+
+class Mlp(nn.Module):
+    """Plain transformer MLP (gelu), for GPT-style backbones."""
+
+    d_ff: int
+    d_model: int
+    dtype: Dtype = jnp.bfloat16
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        h = dense(self.d_ff, ("embed", "mlp"), dtype=self.dtype, name="wi")(x)
+        h = nn.gelu(h, approximate=True)
+        h = nn.with_logical_constraint(h, ("batch", "seq", "mlp"))
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        out = dense(self.d_model, ("mlp", "embed"), dtype=self.dtype, name="wo")(h)
+        return nn.with_logical_constraint(out, ("batch", "seq", "act_embed"))
+
+
+class SequencePool(nn.Module):
+    """Sequence → vector readout (reference `SequenceDecoder` modes
+    `src/tasks/decoders.py:50-105`): mean (mask-aware), last, first, sum."""
+
+    mode: str = "mean"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        if self.mode == "mean":
+            if mask is not None:
+                m = mask.astype(x.dtype)[..., None]
+                return (x * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+            return x.mean(axis=1)
+        if self.mode == "sum":
+            if mask is not None:
+                return (x * mask.astype(x.dtype)[..., None]).sum(axis=1)
+            return x.sum(axis=1)
+        if self.mode == "last":
+            return x[:, -1]
+        if self.mode == "first":
+            return x[:, 0]
+        raise ValueError(f"unknown pool mode {self.mode!r}")

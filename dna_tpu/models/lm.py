@@ -1,0 +1,184 @@
+"""Causal/bidirectional LM backbone hosting pluggable sequence mixers.
+
+Re-design of the reference `LMBackbone`/`ConvLMHeadModel`/`BertLMHeadModel`
+(`src/models/sequence/long_conv_lm.py:320-682`): GPT2 embeddings → n ×
+pre-norm Block(mixer, MLP) → final LN → tied LM head. The mixer for each
+layer index comes from `attn_layer_idx` (flash attention) or the layer
+registry (Hyena), exactly the reference's `create_mixer_cls` switch
+(`long_conv_lm.py:94-165`).
+
+`DNAEmbeddingModel` (backbone sans head, `dna_embedding.py:18-141`) is the
+same module with `return_hidden=True` — used by finetune decoders.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dna_tpu import registry
+from dna_tpu.config.core import ModelConfig
+from dna_tpu.models.layers import Mlp, SequencePool, TokenEmbed, dense, layer_norm
+from dna_tpu.models.hyena import HyenaOperator
+from dna_tpu.ops.attention import multihead_attention
+
+
+class MHAMixer(nn.Module):
+    """Self-attention mixer for `attn_layer_idx` layers (reference flash-attn
+    `MHA` with rotary off, `long_conv_lm.py:94-128`)."""
+
+    cfg: ModelConfig
+    causal: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        head_dim = cfg.d_model // cfg.n_heads
+        qkv = dense(3 * cfg.d_model, ("embed", "heads"), dtype=dtype,
+                    name="wqkv")(x)
+        qkv = qkv.reshape(x.shape[0], x.shape[1], 3, cfg.n_heads, head_dim)
+        out = multihead_attention(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], causal=self.causal,
+            alibi=False, impl="auto" if cfg.use_flash else "ref")
+        out = out.reshape(x.shape[0], x.shape[1], cfg.d_model)
+        return dense(cfg.d_model, ("heads", "embed"), dtype=dtype,
+                     name="out_proj")(out)
+
+
+class LMBlock(nn.Module):
+    """Pre-norm block: x + mixer(LN(x)); x + MLP(LN(x))."""
+
+    cfg: ModelConfig
+    layer_idx: int
+    attn_layer_idx: Tuple[int, ...] = ()
+    l_max: int = 1024
+    causal: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        h = layer_norm(eps=cfg.norm_eps, name="mixer_ln")(x).astype(x.dtype)
+        if self.layer_idx in self.attn_layer_idx:
+            h = MHAMixer(cfg, causal=self.causal, name="mixer")(
+                h, deterministic=deterministic)
+        else:
+            h = HyenaOperator(
+                d_model=cfg.d_model, l_max=self.l_max, order=cfg.hyena_order,
+                filter_order=cfg.hyena_filter_order,
+                filter_emb_dim=cfg.hyena_filter_emb_dim,
+                short_filter_order=cfg.short_filter_len, dropout=cfg.dropout,
+                bidirectional=not self.causal, dtype=jnp.dtype(cfg.dtype),
+                name="mixer")(h, deterministic=deterministic)
+        if cfg.dropout > 0.0:
+            h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        x = x + h
+        h = layer_norm(eps=cfg.norm_eps, name="mlp_ln")(x).astype(x.dtype)
+        h = Mlp(cfg.d_ff, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
+                dropout=cfg.dropout, name="mlp")(h, deterministic=deterministic)
+        if cfg.dropout > 0.0:
+            h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        return x + h
+
+
+class LMBackbone(nn.Module):
+    cfg: ModelConfig
+    attn_layer_idx: Tuple[int, ...] = ()
+    l_max: int = 1024
+    causal: bool = True
+    learned_pos_emb: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed = TokenEmbed(cfg.vocab_size, cfg.d_model,
+                                dtype=jnp.dtype(cfg.dtype))
+        if self.learned_pos_emb:
+            self.pos_emb = self.param(
+                "pos_emb",
+                nn.with_logical_partitioning(
+                    nn.initializers.normal(0.02), (None, "embed")),
+                (self.l_max, cfg.d_model), jnp.float32)
+        BlockCls = LMBlock
+        if cfg.remat:
+            BlockCls = nn.remat(LMBlock, prevent_cse=False)
+        self.blocks = [
+            BlockCls(cfg, layer_idx=i, attn_layer_idx=tuple(self.attn_layer_idx),
+                     l_max=self.l_max, causal=self.causal, name=f"layer_{i}")
+            for i in range(cfg.n_layers)]
+        self.ln_f = layer_norm(eps=cfg.norm_eps)
+
+    def __call__(self, input_ids: jax.Array, *, deterministic: bool = True
+                 ) -> jax.Array:
+        x = self.embed(input_ids)
+        if self.learned_pos_emb:
+            x = x + self.pos_emb[None, : x.shape[1]].astype(x.dtype)
+        for blk in self.blocks:
+            x = blk(x, deterministic=deterministic)
+        return self.ln_f(x).astype(x.dtype)
+
+
+class LMHeadModel(nn.Module):
+    """Backbone + tied LM head (reference `ConvLMHeadModel`,
+    `long_conv_lm.py:684-786`)."""
+
+    cfg: ModelConfig
+    attn_layer_idx: Tuple[int, ...] = ()
+    l_max: int = 1024
+    causal: bool = True
+
+    def setup(self):
+        self.backbone = LMBackbone(
+            self.cfg, attn_layer_idx=self.attn_layer_idx, l_max=self.l_max,
+            causal=self.causal)
+
+    def __call__(self, input_ids: jax.Array,
+                 attention_mask: Optional[jax.Array] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        del attention_mask  # causal LM pretraining uses packed full windows
+        h = self.backbone(input_ids, deterministic=deterministic)
+        logits = self.backbone.embed.attend(h)
+        return nn.with_logical_constraint(logits, ("batch", "seq", "vocab"))
+
+
+class DNAEmbeddingModel(nn.Module):
+    """Backbone without head + pooling + classification/regression score
+    (reference `DNAEmbeddingModel` + `SequenceDecoder` pipeline)."""
+
+    cfg: ModelConfig
+    attn_layer_idx: Tuple[int, ...] = ()
+    l_max: int = 1024
+    causal: bool = True
+
+    def setup(self):
+        self.backbone = LMBackbone(
+            self.cfg, attn_layer_idx=self.attn_layer_idx, l_max=self.l_max,
+            causal=self.causal)
+        self.pool = SequencePool(self.cfg.pool)
+        self.score = dense(self.cfg.n_classes, ("embed", "vocab"),
+                           dtype=jnp.float32, name="score")
+
+    def __call__(self, input_ids: jax.Array,
+                 attention_mask: Optional[jax.Array] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        h = self.backbone(input_ids, deterministic=deterministic)
+        pooled = self.pool(h, attention_mask)
+        return self.score(pooled.astype(jnp.float32))
+
+
+@registry.model.register("hyena_lm")
+def _hyena_lm(cfg: ModelConfig, l_max: Optional[int] = None):
+    return LMHeadModel(cfg, l_max=l_max or cfg.max_len, causal=True)
+
+
+@registry.model.register("hyena_cls")
+def _hyena_cls(cfg: ModelConfig, l_max: Optional[int] = None):
+    return DNAEmbeddingModel(cfg, l_max=l_max or cfg.max_len, causal=True)
+
+
+@registry.model.register("transformer_lm")
+def _transformer_lm(cfg: ModelConfig, l_max: Optional[int] = None):
+    return LMHeadModel(cfg, attn_layer_idx=tuple(range(cfg.n_layers)),
+                       l_max=l_max or cfg.max_len, causal=True)

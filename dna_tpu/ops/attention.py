@@ -1,0 +1,53 @@
+"""Multi-head attention dispatch: Pallas flash kernel or XLA reference.
+
+API takes the *ingredients* of the bias (pad mask, ALiBi slopes, causal flag)
+rather than a materialized [B, H, S, S] bias tensor: the reference has to
+materialize ALiBi (`bert_layers.py:440-451`) because its Triton kernel wants a
+bias operand, but on TPU the flash kernel regenerates bias per tile from
+slopes — O(S²) HBM traffic avoided entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dna_tpu.ops.attention_ref import alibi_bias, attention_ref, padding_bias
+
+
+def multihead_attention(
+    q: jax.Array,  # [B, S, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    attention_mask: Optional[jax.Array] = None,  # [B, S] 1=keep
+    alibi: bool = False,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    impl: str = "auto",  # auto | flash | ref
+) -> jax.Array:
+    B, S, H, D = q.shape
+    if impl == "auto":
+        # Flash pays off once the S×S score materialization dominates; at
+        # short S (DNABERT-2's 128-token batches) XLA's fused batched-matmul
+        # attention is faster than the kernel's per-(b,h) grid overhead
+        # (measured on v5e: 124k vs 99k tok/s at S=128, batch 256).
+        impl = "flash" if (D % 128 == 0 or D in (64,)) and S >= 512 else "ref"
+    if impl == "flash":
+        try:
+            from dna_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(
+                q, k, v, attention_mask=attention_mask, alibi=alibi,
+                causal=causal, softmax_scale=softmax_scale)
+        except ImportError:
+            impl = "ref"
+    bias = None
+    if alibi:
+        bias = alibi_bias(H, S, causal=causal)
+    if attention_mask is not None:
+        pb = padding_bias(attention_mask)
+        bias = pb if bias is None else bias + pb
+    return attention_ref(q, k, v, bias, causal=causal, softmax_scale=softmax_scale)

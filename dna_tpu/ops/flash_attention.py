@@ -1,0 +1,342 @@
+"""Pallas TPU flash attention with in-kernel ALiBi bias and padding mask.
+
+Replaces the reference's Triton flash-attention-with-bias kernel
+(`src/models/sequence/flash_attn_triton.py:767+`, used by DNABERT-2's
+`BertUnpadSelfAttention`, `bert_layers.py:183-197`) — the single most
+important kernel for the DNABERT-2 workload (SURVEY §2.7 #3).
+
+TPU-native design choices:
+  * no unpad/repad and no materialized [B,H,S,S] bias: ALiBi is regenerated
+    per tile from per-head slopes, the pad mask is read as a [S] vector —
+    O(S²) HBM traffic for the bias disappears.
+  * online-softmax streaming over K blocks; [Bq, D] fp32 accumulator in
+    registers/VMEM; lse saved for the backward pass.
+  * grid (B, H, nq): K/V blocks for a head stay resident in VMEM across all
+    q-tiles (pallas only re-fetches when the block index changes).
+  * backward = flash-style recomputation: one kernel for dq, one for dk/dv,
+    both reusing the saved lse and the delta = rowsum(dO∘O) trick.
+
+Numerics: softmax statistics in fp32; matmuls accumulate fp32 via
+`preferred_element_type`. Matches `attention_ref` to bf16 tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dna_tpu.ops.attention_ref import alibi_slopes
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+NEG_INF = -1e9
+
+
+def _interpret() -> bool:
+    # CPU tests run the kernels in interpreter mode; on TPU they compile.
+    return jax.default_backend() != "tpu"
+
+
+def _bias_tile(slope, qi, kj, bq, bk, causal, alibi, mask_tile):
+    """fp32 additive bias for the (qi, kj) tile: ALiBi + pad mask + causal."""
+    rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    cols = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    bias = jnp.zeros((bq, bk), jnp.float32)
+    if alibi:
+        bias = bias - slope * jnp.abs(rows - cols).astype(jnp.float32)
+    if mask_tile is not None:
+        bias = bias + jnp.where(mask_tile[None, :] != 0, 0.0, NEG_INF)
+    if causal:
+        bias = jnp.where(rows >= cols, bias, NEG_INF)
+    return bias
+
+
+def _fwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                block_k: int, causal: bool, alibi: bool, scale: float,
+                seq_len: int):
+    bq = q_ref.shape[-2]
+    d = q_ref.shape[-1]
+    qi = pl.program_id(2)
+    slope = slope_ref[pl.program_id(1)]
+
+    q = q_ref[0, 0]  # [Bq, D]
+    nk = seq_len // block_k
+    if causal:
+        # only iterate up to the diagonal block
+        nk_run = jnp.minimum(nk, (qi + 1) * bq // block_k + 1)
+    else:
+        nk_run = nk
+
+    def body(j, carry):
+        acc, m, l = carry
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :]  # [Bk, D]
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [Bq, Bk]
+        mask_tile = None
+        if mask_ref is not None:
+            mask_tile = mask_ref[0, pl.ds(j * block_k, block_k)]
+        s = s + _bias_tile(slope, qi, j, bq, block_k, causal, alibi, mask_tile)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, nk_run, body, (acc, m, l))
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l_safe)  # [Bq, 1]
+
+
+def _bwd_dq_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, *, block_k: int, causal: bool,
+                   alibi: bool, scale: float, seq_len: int):
+    bq = q_ref.shape[-2]
+    qi = pl.program_id(2)
+    slope = slope_ref[pl.program_id(1)]
+    q = q_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]      # [Bq, 1]
+    delta = delta_ref[0, 0]  # [Bq, 1]
+
+    nk = seq_len // block_k
+    nk_run = jnp.minimum(nk, (qi + 1) * bq // block_k + 1) if causal else nk
+
+    def body(j, dq):
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        mask_tile = None
+        if mask_ref is not None:
+            mask_tile = mask_ref[0, pl.ds(j * block_k, block_k)]
+        s = s + _bias_tile(slope, qi, j, bq, block_k, causal, alibi, mask_tile)
+        p = jnp.exp(s - lse)  # [Bq, Bk]
+        dp = jax.lax.dot_general(do, vb.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq = dq + jax.lax.dot_general(ds.astype(kb.dtype), kb,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dq
+
+    dq = jax.lax.fori_loop(0, nk_run, body, jnp.zeros_like(q, jnp.float32))
+    dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref, *, block_q: int, causal: bool,
+                    alibi: bool, scale: float, seq_len: int):
+    bk = k_ref.shape[-2]
+    d = k_ref.shape[-1]
+    kj = pl.program_id(2)
+    slope = slope_ref[pl.program_id(1)]
+    kb = k_ref[0, 0]  # [Bk, D]
+    vb = v_ref[0, 0]
+    mask_tile = mask_ref[0, :] if mask_ref is not None else None
+
+    nq = seq_len // block_q
+    # causal: q blocks strictly before this k block contribute nothing
+    q_start = (kj * bk) // block_q if causal else 0
+
+    def body(i, carry):
+        dk, dv = carry
+        qb = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        dob = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]    # [Bq, 1]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + _bias_tile(slope, i, kj, block_q, bk, causal, alibi, mask_tile)
+        p = jnp.exp(s - lse)  # [Bq, Bk]
+        dv = dv + jax.lax.dot_general(p, dob, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(dob, vb.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)  # [Bq, Bk]
+        dk = dk + jax.lax.dot_general(ds, qb.astype(jnp.float32),
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk = jnp.zeros((bk, d), jnp.float32)
+    dv = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(q_start, nq, body, (dk, dv))
+    dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _choose_blocks(seq_len: int):
+    bq = min(DEFAULT_BLOCK_Q, seq_len)
+    bk = min(DEFAULT_BLOCK_K, seq_len)
+    return bq, bk
+
+
+def _fwd_impl(q, k, v, mask, slopes, *, causal, alibi, scale):
+    B, H, S, D = q.shape
+    bq, bk = _choose_blocks(S)
+    grid = (B, H, S // bq)
+    qspec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
+    kvspec = pl.BlockSpec((1, 1, S, D), lambda b, h, i, *_: (b, h, 0, 0))
+    in_specs = [qspec, kvspec, kvspec]
+    inputs = [q, k, v]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, S), lambda b, h, i, *_: (b, 0)))
+        inputs.append(mask)
+    kernel = functools.partial(
+        _fwd_kernel, block_k=bk, causal=causal, alibi=alibi, scale=scale,
+        seq_len=S)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+    # lse kept as [B, H, S, 1]: the trailing unit dim satisfies mosaic's
+    # block-shape constraint without jax's 128-lane broadcast workaround.
+    out_shape = (
+        jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, *_: (b, h, i, 0)),
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_specs),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(slopes, *inputs)
+    return o, lse
+
+
+def _mask_none_wrapper(kernel, mask_pos, *refs, **kw):
+    """Insert mask_ref=None at position `mask_pos` of the ref list."""
+    refs = list(refs)
+    refs.insert(mask_pos, None)
+    return kernel(*refs, **kw)
+
+
+def _bwd_impl(q, k, v, mask, slopes, o, lse, do, *, causal, alibi, scale):
+    B, H, S, D = q.shape
+    bq, bk = _choose_blocks(S)
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
+                    keepdims=True)  # [B, H, S, 1]
+
+    full = pl.BlockSpec((1, 1, S, D), lambda b, h, i, *_: (b, h, 0, 0))
+    vec_full = pl.BlockSpec((1, 1, S, 1), lambda b, h, i, *_: (b, h, 0, 0))
+    qtile = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
+    vtile = pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, *_: (b, h, i, 0))
+    ktile = pl.BlockSpec((1, 1, bk, D), lambda b, h, j, *_: (b, h, j, 0))
+    mask_spec = pl.BlockSpec((1, S), lambda b, h, i, *_: (b, 0))
+
+    # dq: tile q, stream K/V
+    in_specs = [qtile, full, full]
+    inputs = [q, k, v]
+    if mask is not None:
+        in_specs.append(mask_spec)
+        inputs.append(mask)
+    in_specs += [qtile, vtile, vtile]
+    kernel = functools.partial(_bwd_dq_kernel, block_k=bk, causal=causal,
+                               alibi=alibi, scale=scale, seq_len=S)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+    dq = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, H, S // bq),
+            in_specs=in_specs, out_specs=qtile),
+        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(slopes, *inputs, do, lse, delta)
+
+    # dk/dv: tile K/V, stream q
+    in_specs = [full, ktile, ktile]
+    inputs = [q, k, v]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, bk), lambda b, h, j, *_: (b, j)))
+        inputs.append(mask)
+    in_specs += [full, vec_full, vec_full]
+    kernel = functools.partial(_bwd_dkv_kernel, block_q=bq, causal=causal,
+                               alibi=alibi, scale=scale, seq_len=S)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+    dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, H, S // bk),
+            in_specs=in_specs, out_specs=(ktile, ktile)),
+        out_shape=(jax.ShapeDtypeStruct((B, H, S, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, H, S, D), v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(slopes, *inputs, do, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash(q, k, v, mask, slopes, causal, alibi, scale):
+    o, _ = _fwd_impl(q, k, v, mask, slopes, causal=causal, alibi=alibi,
+                     scale=scale)
+    return o
+
+
+def _flash_fwd(q, k, v, mask, slopes, causal, alibi, scale):
+    o, lse = _fwd_impl(q, k, v, mask, slopes, causal=causal, alibi=alibi,
+                       scale=scale)
+    return o, (q, k, v, mask, slopes, o, lse)
+
+
+def _flash_bwd(causal, alibi, scale, res, do):
+    q, k, v, mask, slopes, o, lse = res
+    dq, dk, dv = _bwd_impl(q, k, v, mask, slopes, o, lse, do, causal=causal,
+                           alibi=alibi, scale=scale)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dq, dk, dv, dmask, jnp.zeros_like(slopes)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,  # [B, S, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    attention_mask: Optional[jax.Array] = None,  # [B, S] 1=keep
+    alibi: bool = False,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+) -> jax.Array:
+    B, S, H, D = q.shape
+    if S % 128 != 0:
+        raise ValueError(f"flash_attention requires S % 128 == 0, got {S}")
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    # [B, S, H, D] → [B, H, S, D]
+    qt, kt, vt = (x.swapaxes(1, 2) for x in (q, k, v))
+    slopes = alibi_slopes(H) if alibi else jnp.zeros((H,), jnp.float32)
+    mask = None
+    if attention_mask is not None:
+        mask = attention_mask.astype(jnp.int32)
+    o = _flash(qt, kt, vt, mask, slopes, causal, alibi, scale)
+    return o.swapaxes(1, 2)

@@ -1,0 +1,100 @@
+"""Device mesh construction and logical-axis sharding rules.
+
+The reference scales with torch DDP + (plumbed, unused) Megatron TP/SP inside
+flash-attn modules (SURVEY §2.6). Here parallelism is expressed the TPU way:
+one SPMD program over a `jax.sharding.Mesh`, with logical axis names on every
+parameter/activation and a single rules table mapping logical → mesh axes.
+XLA inserts the collectives (psum for DP grads, all-gather/reduce-scatter for
+tensor parallel) over ICI.
+
+Mesh axes (see `MeshConfig`):
+  dp    data parallel (replicated params)
+  fsdp  data parallel with sharded params/opt state (ZeRO-3)
+  tp    tensor parallel (heads / mlp / vocab)
+  pp    pipeline stage axis (layers scanned over stages)
+  sp    sequence / context parallel (activations sharded along L)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dna_tpu.config.core import MeshConfig
+
+MESH_AXES = ("dp", "fsdp", "tp", "pp", "sp")
+
+# Logical axis name → mesh axis (or tuple of mesh axes, or None=replicated).
+# This single table is the whole parallelism policy; models only ever use
+# logical names.
+DEFAULT_RULES: Tuple[Tuple[str, Optional[object]], ...] = (
+    ("batch", ("dp", "fsdp")),   # per-example batch dim
+    ("seq", "sp"),               # activation sequence dim (context parallel)
+    ("embed", "fsdp"),           # param d_model dim — FSDP shards here
+    ("heads", "tp"),             # attention heads / qkv output dim
+    ("kv", None),                # head_dim
+    ("mlp", "tp"),               # ffn hidden dim
+    ("vocab", "tp"),             # embedding/vocab dim
+    ("act_embed", None),         # activation d_model dim (replicated)
+    ("embed_out", None),         # square-projection output dim (d_model→d_model)
+    ("conv_ch", "tp"),           # conv channels (cnn families)
+    ("state", None),             # ssm state dim
+    ("layers", "pp"),            # stacked-layer dim for pipeline scan
+    ("expert", None),            # reserved (no MoE in reference)
+)
+
+
+def resolve_mesh_shape(cfg: MeshConfig, n_devices: Optional[int] = None) -> Tuple[int, ...]:
+    if n_devices is None:
+        n_devices = jax.device_count()
+    sizes = [cfg.dp, cfg.fsdp, cfg.tp, cfg.pp, cfg.sp]
+    if sizes.count(-1) > 1:
+        raise ValueError("at most one mesh axis may be -1")
+    known = math.prod(s for s in sizes if s != -1)
+    if -1 in sizes:
+        if n_devices % known:
+            raise ValueError(f"{n_devices} devices not divisible by {known}")
+        sizes[sizes.index(-1)] = n_devices // known
+    if math.prod(sizes) > n_devices:
+        raise ValueError(f"mesh {sizes} needs more than {n_devices} devices")
+    return tuple(sizes)
+
+
+def build_mesh(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence] = None) -> Mesh:
+    """Build a mesh; fully explicit axis sizes may use a subset of devices."""
+    if devices is None:
+        devices = jax.devices()
+    shape = resolve_mesh_shape(cfg, len(devices))
+    devices = list(devices)[: math.prod(shape)]
+    # mesh_utils gives ICI-aware orderings on real slices; fall back to reshape
+    # for CPU/virtual meshes.
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh(shape, devices=list(devices))
+    except Exception:
+        dev_array = np.asarray(list(devices)).reshape(shape)
+    return Mesh(dev_array, MESH_AXES)
+
+
+def data_pspec() -> P:
+    """PartitionSpec for a [batch, seq, ...] input batch."""
+    return P(("dp", "fsdp"), "sp")
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, data_pspec())
+
+
+def logical_rules(extra: Sequence[Tuple[str, object]] = ()) -> list:
+    rules = dict(DEFAULT_RULES)
+    rules.update(dict(extra))
+    return list(rules.items())
+
+
+def single_device_mesh() -> Mesh:
+    return build_mesh(MeshConfig(dp=1, fsdp=1, tp=1, pp=1, sp=1), devices=jax.devices()[:1])

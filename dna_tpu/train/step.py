@@ -1,0 +1,132 @@
+"""Jit-compiled train/eval steps.
+
+One SPMD program replaces the reference's PL `training_step` + DDP allreduce
+(`train.py:339-379` + NCCL): the batch arrives sharded over the (dp, fsdp)
+mesh axes, the loss is a mean over the global batch, and XLA inserts the
+gradient psum/reduce-scatter collectives implied by the sharding annotations.
+Metrics come back as replicated scalars — already globally reduced, which is
+what the reference needs `sync_dist=True` for.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dna_tpu.parallel.mesh import data_pspec
+from dna_tpu.train.state import TrainState
+
+Batch = Dict[str, jax.Array]
+
+
+def make_forward_fn(model: nn.Module, task_fn) -> Callable:
+    """loss_fn(params, batch, rng, deterministic) -> (loss, metrics)."""
+
+    def forward(params, batch: Batch, rng, deterministic: bool):
+        kwargs = {}
+        if "mask" in batch and "attention_mask" not in batch:
+            # MLM batches carry the *masked-position* mask; attention over
+            # padded tokens is governed by pad ids — here synthetic/packed
+            # batches have no padding so attention_mask=None.
+            pass
+        attention_mask = batch.get("attention_mask")
+        logits = model.apply(
+            {"params": params}, batch["input_ids"], attention_mask,
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": rng},
+            **kwargs)
+        return task_fn(logits, batch)
+
+    return forward
+
+
+def make_train_step(
+    model: nn.Module,
+    task_fn,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    rules,
+    state_shardings: TrainState,
+    *,
+    ema: float = 0.0,
+    deterministic: Optional[bool] = None,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jax.Array]]]:
+    forward = make_forward_fn(model, task_fn)
+    det = bool(deterministic) if deterministic is not None else True
+
+    def train_step(state: TrainState, batch: Batch):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: forward(p, batch, step_rng, det), has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema > 0.0 and new_ema is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema + p * (1.0 - ema), new_ema, new_params)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            ema_params=new_ema)
+        return new_state, metrics
+
+    batch_sharding = NamedSharding(mesh, data_pspec())
+    replicated = NamedSharding(mesh, P())
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(state_shardings, None),
+        out_shardings=(state_shardings, replicated),
+        donate_argnums=(0,),
+    )
+
+    def run(state, batch):
+        with mesh, nn.logical_axis_rules(rules):
+            return jitted(state, batch)
+
+    run.jitted = jitted
+    run.batch_sharding = batch_sharding
+    return run
+
+
+def make_eval_step(model: nn.Module, task_fn, mesh: Mesh, rules,
+                   state_shardings: TrainState):
+    forward = make_forward_fn(model, task_fn)
+
+    def eval_step(state: TrainState, batch: Batch):
+        params = state.ema_params if state.ema_params is not None else state.params
+        loss, metrics = forward(params, batch, state.rng, True)
+        return metrics
+
+    replicated = NamedSharding(mesh, P())
+    jitted = jax.jit(eval_step, in_shardings=(state_shardings, None),
+                     out_shardings=replicated)
+
+    def run(state, batch):
+        with mesh, nn.logical_axis_rules(rules):
+            return jitted(state, batch)
+
+    return run
+
+
+def make_predict_step(model: nn.Module, mesh: Mesh, rules, state_shardings):
+    """Returns logits for host-side metric computation (MCC/F1/AUROC)."""
+
+    def predict(state: TrainState, batch: Batch):
+        params = state.ema_params if state.ema_params is not None else state.params
+        return model.apply({"params": params}, batch["input_ids"],
+                           batch.get("attention_mask"), deterministic=True)
+
+    jitted = jax.jit(predict, in_shardings=(state_shardings, None))
+
+    def run(state, batch):
+        with mesh, nn.logical_axis_rules(rules):
+            return jitted(state, batch)
+
+    return run

@@ -1,0 +1,92 @@
+"""End-to-end slice: config → data → model → task → sharded train step.
+
+Covers SURVEY §7.2 step 3 acceptance: loss decreases on a small MLM run,
+with the full mesh machinery active on a virtual 8-device CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dna_tpu.config.core import MeshConfig
+from dna_tpu.data.loader import ShardedLoader
+from dna_tpu.experiments import build, get_experiment
+from dna_tpu.parallel.mesh import build_mesh
+from dna_tpu.train.state import create_train_state, param_count
+from dna_tpu.train.step import make_eval_step, make_train_step
+
+
+def _setup(mesh_cfg=MeshConfig(dp=-1), steps=30, overrides=()):
+    cfg = get_experiment("dnabert2_pretrain_tiny", overrides)
+    mesh = build_mesh(mesh_cfg)
+    exp = build(cfg, mesh=mesh)
+
+    model, tokenizer = exp.model, exp.tokenizer
+    sample = exp.dataset[0]
+    dummy_ids = jnp.zeros((2, cfg.data.max_length), jnp.int32)
+
+    def init_params(rng):
+        return model.init(rng, dummy_ids, None, deterministic=True)["params"]
+
+    state, shardings = create_train_state(
+        init_params, exp.tx, mesh, exp.rules, jax.random.key(0))
+    train_step = make_train_step(model, exp.task_fn, exp.tx, mesh, exp.rules,
+                                 shardings)
+    loader = ShardedLoader(exp.dataset, cfg.data.batch_size, seed=0)
+    return exp, state, train_step, loader
+
+
+def test_mlm_loss_decreases():
+    exp, state, train_step, loader = _setup()
+    losses = []
+    for i, batch in enumerate(loader):
+        if i >= 30:
+            break
+        state, metrics = train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    # random-token MLM over ~11-token char vocab: initial loss ~ln(V);
+    # it must drop measurably within 30 steps
+    assert losses[0] > 1.5
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.1, losses
+
+
+@pytest.mark.parametrize("mesh_cfg", [
+    MeshConfig(dp=8),
+    MeshConfig(dp=2, fsdp=2, tp=2),
+    MeshConfig(dp=1, fsdp=4, tp=2),
+    MeshConfig(dp=2, tp=4),
+])
+def test_mesh_layouts_agree(mesh_cfg):
+    """The same data + init must give the same loss trajectory on any mesh
+    layout (DP/FSDP/TP are numerics-preserving re-layouts)."""
+    _, state, train_step, loader = _setup(mesh_cfg=mesh_cfg)
+    batches = [b for _, b in zip(range(3), loader)]
+    losses = []
+    for b in batches:
+        state, m = train_step(state, b)
+        losses.append(float(m["loss"]))
+
+    _, state1, train_step1, _ = _setup(mesh_cfg=MeshConfig(dp=1, fsdp=1, tp=1))
+    losses1 = []
+    for b in batches:
+        state1, m = train_step1(state1, b)
+        losses1.append(float(m["loss"]))
+    np.testing.assert_allclose(losses, losses1, rtol=2e-2)
+
+
+def test_param_count_dnabert2_117m():
+    """The flagship config should land at ~117M params like the reference
+    (`nohup.out` model summary: BertForMaskedLM | 117 M)."""
+    from dna_tpu.config.core import ModelConfig
+    from dna_tpu.models.bert import BertForMLM
+
+    cfg = ModelConfig(name="dnabert2", vocab_size=4096, d_model=768,
+                      n_layers=12, n_heads=12, d_ff=3072)
+    model = BertForMLM(cfg)
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, 8), jnp.int32),
+                           None, deterministic=True))["params"]
+    import flax.linen as nn
+    n = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(nn.meta.unbox(params)))
+    assert 100e6 < n < 135e6, n

@@ -1,0 +1,87 @@
+"""Flash-attention kernel numerics vs the XLA reference oracle.
+
+The slow/fast oracle-pair strategy mirrors the reference's
+`fftconv_ref`/`fftconv_func` pairing (`hyena.py:254-269`). On CPU the Pallas
+kernels run in interpreter mode; the same tests compile on real TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dna_tpu.ops.attention_ref import alibi_bias, attention_ref, padding_bias
+from dna_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(key, B=2, S=256, H=4, D=64, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    shape = (B, S, H, D)
+    return tuple(jax.random.normal(k, shape, dtype) * 0.5 for k in ks)
+
+
+@pytest.mark.parametrize("alibi", [False, True])
+@pytest.mark.parametrize("causal", [False, True])
+def test_forward_matches_ref(alibi, causal):
+    q, k, v = _rand_qkv(jax.random.key(0))
+    out = flash_attention(q, k, v, alibi=alibi, causal=causal)
+    H, S = q.shape[2], q.shape[1]
+    bias = alibi_bias(H, S) if alibi else None
+    ref = attention_ref(q, k, v, bias, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_forward_with_padding_mask():
+    q, k, v = _rand_qkv(jax.random.key(1), B=2, S=256)
+    mask = jnp.ones((2, 256), jnp.int32).at[:, 200:].set(0)
+    out = flash_attention(q, k, v, attention_mask=mask, alibi=True)
+    bias = alibi_bias(q.shape[2], 256) + padding_bias(mask)
+    ref = attention_ref(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out)[:, :200],
+                               np.asarray(ref)[:, :200], atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("alibi,causal", [(True, False), (False, True)])
+def test_grads_match_ref(alibi, causal):
+    q, k, v = _rand_qkv(jax.random.key(2), B=1, S=256, H=2)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, alibi=alibi, causal=causal) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        bias = alibi_bias(q.shape[2], q.shape[1]) if alibi else None
+        return (attention_ref(q, k, v, bias, causal=causal) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=f"d{name}")
+
+
+def test_grads_with_mask():
+    q, k, v = _rand_qkv(jax.random.key(3), B=1, S=128, H=2)
+    mask = jnp.ones((1, 128), jnp.int32).at[:, 100:].set(0)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, attention_mask=mask, alibi=True)
+        return (out[:, :100] ** 2).sum()
+
+    def loss_ref(q, k, v):
+        bias = alibi_bias(q.shape[2], 128) + padding_bias(mask)
+        return (attention_ref(q, k, v, bias)[:, :100] ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=f"d{name}")
+
+
+def test_bf16_forward_close():
+    q, k, v = _rand_qkv(jax.random.key(4), dtype=jnp.bfloat16, S=128)
+    out = flash_attention(q, k, v, alibi=True)
+    ref = attention_ref(q, k, v, alibi_bias(q.shape[2], q.shape[1]))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)
