@@ -118,6 +118,7 @@ class SchedulerConfig:
 @dataclass(frozen=True)
 class DataConfig:
     dataset: str = "synthetic_mlm"
+    dataset_name: Optional[str] = None  # task within a suite (e.g. NT "H4")
     tokenizer: str = "char"  # char | bpe | kmer
     tokenizer_path: Optional[str] = None
     fasta_path: Optional[str] = None

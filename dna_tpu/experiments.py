@@ -67,6 +67,71 @@ def dnabert2_pretrain_tiny() -> ExperimentConfig:
     )
 
 
+@registry.experiment.register("hg38_hyena")
+def hg38_hyena() -> ExperimentConfig:
+    """HyenaDNA causal-LM pretrain on hg38 (reference
+    `configs/experiment/hg38/hg38_hyena.yaml`: d_model 128, 2 layers,
+    L=1024 char-level)."""
+    return ExperimentConfig(
+        name="hg38_hyena",
+        model=ModelConfig(name="hyena_lm", d_model=128, n_layers=2, n_heads=1,
+                          d_ff=512, max_len=1024, hyena_order=2,
+                          hyena_filter_order=64, hyena_filter_emb_dim=5),
+        data=DataConfig(dataset="synthetic_lm", tokenizer="char",
+                        max_length=1024, batch_size=256),
+        task=TaskConfig(name="lm"),
+        optimizer=OptimizerConfig(name="adamw", lr=6e-4, weight_decay=0.1),
+        scheduler=SchedulerConfig(name="cosine_warmup", warmup_steps=1000,
+                                  total_steps=100_000),
+        train=TrainConfig(steps=1000),
+    )
+
+
+@registry.experiment.register("hg38_hyena_tiny")
+def hg38_hyena_tiny() -> ExperimentConfig:
+    cfg = hg38_hyena()
+    return replace(
+        cfg, name="hg38_hyena_tiny",
+        model=replace(cfg.model, d_model=64, d_ff=128, max_len=128,
+                      hyena_filter_order=16, dtype="float32"),
+        data=replace(cfg.data, max_length=128, batch_size=16, num_samples=1024),
+        scheduler=replace(cfg.scheduler, warmup_steps=10, total_steps=200),
+        train=replace(cfg.train, steps=50),
+    )
+
+
+@registry.experiment.register("caduceus_pretrain")
+def caduceus_pretrain() -> ExperimentConfig:
+    """Caduceus-ph MLM pretrain (reference Caduceus configs: bidirectional
+    weight-tied Mamba, char tokenizer, MLM)."""
+    return ExperimentConfig(
+        name="caduceus_pretrain",
+        model=ModelConfig(name="caduceus", d_model=118, n_layers=4,
+                          d_state=16, bidirectional=True,
+                          bidirectional_strategy="add", rcps=False),
+        data=DataConfig(dataset="synthetic_mlm", tokenizer="char",
+                        max_length=1024, batch_size=128),
+        task=TaskConfig(name="mlm"),
+        optimizer=OptimizerConfig(name="adamw", lr=8e-3, weight_decay=1e-5),
+        scheduler=SchedulerConfig(name="cosine_warmup", warmup_steps=1000,
+                                  total_steps=50_000),
+        train=TrainConfig(steps=1000),
+    )
+
+
+@registry.experiment.register("caduceus_pretrain_tiny")
+def caduceus_pretrain_tiny() -> ExperimentConfig:
+    cfg = caduceus_pretrain()
+    return replace(
+        cfg, name="caduceus_pretrain_tiny",
+        model=replace(cfg.model, d_model=32, n_layers=2, d_state=8,
+                      dtype="float32"),
+        data=replace(cfg.data, max_length=64, batch_size=16, num_samples=1024),
+        scheduler=replace(cfg.scheduler, warmup_steps=10, total_steps=200),
+        train=replace(cfg.train, steps=50),
+    )
+
+
 def _model_vocab_for_tokenizer(mcfg: ModelConfig, tokenizer) -> ModelConfig:
     """Auto-wire vocab size / pad id from the tokenizer (reference
     encoder `dataset_attrs` table semantics)."""

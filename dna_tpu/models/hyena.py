@@ -171,12 +171,9 @@ class HyenaOperator(nn.Module):
             v = v * gate
             if cfg.dropout > 0.0:
                 v = dropout(v, deterministic=deterministic)
-            # fftconv in channel-minor layout
-            v_t = v.swapaxes(1, 2)  # [B, d, L]
-            k_o = k[:, o, :].T      # [d, L]
-            v_t = fftconv(v_t, k_o, D=filt_bias[o][:, None],
-                          bidirectional=cfg.bidirectional)
-            v = v_t.swapaxes(1, 2).astype(cfg.dtype)
+            # fftconv along the sequence axis, channel-last (no transposes)
+            v = fftconv(v, k[:, o, :], D=filt_bias[o][None, :],
+                        bidirectional=cfg.bidirectional).astype(cfg.dtype)
 
         y = v * gates[0]
         y = nn.with_logical_constraint(y, ("batch", "seq", "act_embed"))

@@ -42,6 +42,7 @@ DEFAULT_RULES: Tuple[Tuple[str, Optional[object]], ...] = (
     ("act_embed", None),         # activation d_model dim (replicated)
     ("embed_out", None),         # square-projection output dim (d_model→d_model)
     ("conv_ch", "tp"),           # conv channels (cnn families)
+    ("mlp2", None),              # second mlp width dim (square mlp blocks)
     ("state", None),             # ssm state dim
     ("layers", "pp"),            # stacked-layer dim for pipeline scan
     ("expert", None),            # reserved (no MoE in reference)

@@ -1,0 +1,226 @@
+"""The training loop — replaces PyTorch-Lightning's Trainer.
+
+Responsibilities (reference equivalents in parens):
+  * jit train/eval steps over the mesh (PL + DDP strategy `train.py:630-639`)
+  * periodic eval with host metrics (val loop + torchmetrics `train.py:361-379`)
+  * best-metric tracking on a monitor key (ModelCheckpoint monitor)
+  * checkpoint save/restore incl. loader state (fault-tolerant resume)
+  * step/epoch wall-time metrics (Timer callback `src/callbacks/timer.py`)
+  * JSONL metrics log + stdout (CustomWandbLogger stand-in; wandb optional)
+  * seqlen-warmup staged training (SeqlenWarmupReload
+    `src/callbacks/seqlen_warmup_reload.py`) via `TrainLoop.run_stages`
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dna_tpu.config.core import ExperimentConfig
+from dna_tpu.data.loader import LoaderState, ShardedLoader
+from dna_tpu.experiments import Experiment
+from dna_tpu.train import metrics_host
+from dna_tpu.train.checkpoint import CheckpointManager
+from dna_tpu.train.state import TrainState, create_train_state, param_count
+from dna_tpu.train.step import make_eval_step, make_predict_step, make_train_step
+
+
+@dataclass
+class LoopResult:
+    final_metrics: Dict[str, float]
+    best_metric: Optional[float]
+    history: List[Dict[str, float]] = field(default_factory=list)
+    steps_done: int = 0
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: Optional[str], name: str):
+        self.path = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self.path = os.path.join(log_dir, f"{name}_metrics.jsonl")
+            self._f = open(self.path, "a")
+
+    def log(self, record: Dict[str, Any]):
+        if self.path:
+            self._f.write(json.dumps(record) + "\n")
+            self._f.flush()
+
+    def close(self):
+        if self.path:
+            self._f.close()
+
+
+class TrainLoop:
+    def __init__(self, exp: Experiment, *, eval_dataset=None,
+                 monitor: Optional[str] = None, monitor_mode: str = "max",
+                 log_dir: Optional[str] = None, host_metrics: tuple = (),
+                 verbose: bool = True):
+        self.exp = exp
+        self.cfg: ExperimentConfig = exp.cfg
+        self.eval_dataset = eval_dataset
+        self.monitor = monitor
+        self.monitor_mode = monitor_mode
+        self.host_metrics = tuple(host_metrics)
+        self.verbose = verbose
+        self.logger = MetricsLogger(log_dir, exp.cfg.name)
+
+        self.mesh = exp.mesh
+        seq_len = exp.cfg.data.max_length
+        dummy = jnp.zeros((2, seq_len), jnp.int32)
+
+        def init_params(rng):
+            return exp.model.init(rng, dummy, None,
+                                  deterministic=True)["params"]
+
+        self.state, self.shardings = create_train_state(
+            init_params, exp.tx, self.mesh, exp.rules,
+            jax.random.key(exp.cfg.train.seed), ema=exp.cfg.train.ema)
+        deterministic = exp.cfg.model.dropout == 0.0
+        self.train_step = make_train_step(
+            exp.model, exp.task_fn, exp.tx, self.mesh, exp.rules,
+            self.shardings, ema=exp.cfg.train.ema,
+            deterministic=deterministic)
+        self.eval_step = make_eval_step(exp.model, exp.task_fn, self.mesh,
+                                        exp.rules, self.shardings)
+        self.predict_step = make_predict_step(exp.model, self.mesh, exp.rules,
+                                              self.shardings)
+        self.ckpt: Optional[CheckpointManager] = None
+        if exp.cfg.train.checkpoint_dir:
+            self.ckpt = CheckpointManager(exp.cfg.train.checkpoint_dir)
+        self.n_params = param_count(self.state.params)
+
+    # ------------------------------------------------------------------
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg, flush=True)
+
+    def evaluate(self, dataset=None, max_batches: Optional[int] = None
+                 ) -> Dict[str, float]:
+        dataset = dataset if dataset is not None else self.eval_dataset
+        if dataset is None:
+            return {}
+        loader = ShardedLoader(dataset, self.cfg.data.batch_size, seed=1,
+                               shuffle=False)
+        sums: Dict[str, float] = {}
+        count = 0
+        all_logits, all_labels = [], []
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            m = self.eval_step(self.state, batch)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            if self.host_metrics:
+                logits = self.predict_step(self.state, batch)
+                all_logits.append(np.asarray(jax.device_get(logits),
+                                             np.float32))
+                all_labels.append(np.asarray(batch["labels"]))
+            count += 1
+        out = {f"val/{k}": v / max(count, 1) for k, v in sums.items()}
+        if self.host_metrics and all_logits:
+            logits = np.concatenate(all_logits)
+            labels = np.concatenate(all_labels)
+            if logits.ndim == 3:  # pooled-task logits come back [B, C]
+                pass
+            for name in self.host_metrics:
+                out[f"val/{name}"] = metrics_host.compute_metric(
+                    name, labels, logits)
+        return out
+
+    def run(self, steps: Optional[int] = None,
+            loader: Optional[ShardedLoader] = None) -> LoopResult:
+        cfg = self.cfg
+        steps = steps if steps is not None else cfg.train.steps
+        if loader is None:
+            loader = ShardedLoader(self.exp.dataset, cfg.data.batch_size,
+                                   seed=cfg.data.seed)
+
+        # resume
+        if self.ckpt and cfg.train.resume and self.ckpt.latest_step() is not None:
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=x.sharding),
+                self.state)
+            self.state, loader_state, _ = self.ckpt.restore(abstract)
+            if loader_state is not None:
+                loader.state = loader_state
+            self._log(f"resumed from step {int(self.state.step)}")
+
+        best = None
+        history: List[Dict[str, float]] = []
+        start_step = int(self.state.step)
+        it = iter(loader)
+        t_last = time.perf_counter()
+        tokens_per_batch = cfg.data.batch_size * cfg.data.max_length
+
+        for step_i in range(start_step, steps):
+            batch = next(it)
+            self.state, metrics = self.train_step(self.state, batch)
+
+            if cfg.train.log_every and (step_i + 1) % cfg.train.log_every == 0:
+                now = time.perf_counter()
+                dt = (now - t_last) / cfg.train.log_every
+                t_last = now
+                rec = {k: float(v) for k, v in metrics.items()}
+                rec.update(step=step_i + 1, sec_per_step=round(dt, 4),
+                           tokens_per_sec=round(tokens_per_batch / dt, 1))
+                self.logger.log(rec)
+                self._log(f"step {step_i+1}: loss={rec.get('loss', 0):.4f} "
+                          f"{dt*1e3:.0f} ms/step")
+                history.append(rec)
+
+            if cfg.train.eval_every and (step_i + 1) % cfg.train.eval_every == 0:
+                ev = self.evaluate(max_batches=cfg.train.eval_steps)
+                ev["step"] = step_i + 1
+                self.logger.log(ev)
+                self._log(f"eval @ {step_i+1}: " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in ev.items() if k != "step"))
+                history.append(ev)
+                if self.monitor and self.monitor in ev:
+                    v = ev[self.monitor]
+                    better = (best is None or
+                              (v > best if self.monitor_mode == "max" else v < best))
+                    if better:
+                        best = v
+                        if self.ckpt:
+                            self.ckpt.save(step_i + 1, self.state,
+                                           loader.state, {"best": best})
+
+            if (self.ckpt and cfg.train.checkpoint_every and
+                    (step_i + 1) % cfg.train.checkpoint_every == 0):
+                self.ckpt.save(step_i + 1, self.state, loader.state)
+
+        final = {k: float(v) for k, v in metrics.items()} if steps > start_step else {}
+        return LoopResult(final_metrics=final, best_metric=best,
+                          history=history, steps_done=steps - start_step)
+
+    def run_stages(self) -> LoopResult:
+        """Staged sequence-length warmup (reference SeqlenWarmupReload):
+        each stage re-jits at its (seq_len, batch) shape; optimizer state and
+        params carry across stages."""
+        import dataclasses as dc
+
+        results = []
+        total = 0
+        for (seq_len, batch_size, stage_steps) in self.cfg.train.seqlen_stages:
+            self._log(f"stage: L={seq_len} B={batch_size} steps={stage_steps}")
+            data_cfg = dc.replace(self.cfg.data, max_length=seq_len,
+                                  batch_size=batch_size)
+            dataset = type(self.exp.dataset)(
+                self.exp.tokenizer, max_length=seq_len,
+                num_samples=max(len(self.exp.dataset), batch_size * 2))
+            loader = ShardedLoader(dataset, batch_size, seed=self.cfg.data.seed)
+            total += stage_steps
+            res = self.run(steps=total, loader=loader)
+            results.append(res)
+        last = results[-1] if results else LoopResult({}, None)
+        return last

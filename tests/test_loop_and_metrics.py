@@ -1,0 +1,113 @@
+"""Train loop, checkpoint/resume, host metrics."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from dna_tpu.config.core import MeshConfig
+from dna_tpu.experiments import build, get_experiment
+from dna_tpu.parallel.mesh import build_mesh
+from dna_tpu.train import metrics_host as mh
+
+
+# ---------------- host metrics vs known values ----------------
+
+def test_mcc_matches_sklearn_values():
+    y_true = np.array([1, 1, 1, 0, 0, 0, 1, 0])
+    y_pred = np.array([1, 0, 1, 0, 0, 1, 1, 0])
+    # sklearn.metrics.matthews_corrcoef == 0.5 for this case
+    assert abs(mh.mcc(y_true, y_pred) - 0.5) < 1e-9
+    # perfect / inverted
+    assert abs(mh.mcc(y_true, y_true) - 1.0) < 1e-9
+    assert abs(mh.mcc(y_true, 1 - y_true) + 1.0) < 1e-9
+
+
+def test_f1_variants():
+    y_true = np.array([0, 1, 1, 0, 1])
+    y_pred = np.array([0, 1, 0, 0, 1])
+    # binary: tp=2 fp=0 fn=1 → 2*2/(4+0+1)=0.8
+    assert abs(mh.f1(y_true, y_pred, "binary") - 0.8) < 1e-9
+    assert abs(mh.f1(y_true, y_pred, "micro") - 0.8) < 1e-9
+
+
+def test_roc_auc_rank_statistic():
+    y = np.array([0, 0, 1, 1])
+    s = np.array([0.1, 0.4, 0.35, 0.8])
+    assert abs(mh.roc_auc(y, s) - 0.75) < 1e-9  # sklearn value
+    assert mh.roc_auc(y, y.astype(float)) == 1.0
+
+
+def test_pearson():
+    x = np.arange(10.0)
+    assert abs(mh.pearsonr(x, 2 * x + 1) - 1.0) < 1e-9
+    assert abs(mh.pearsonr(x, -x) + 1.0) < 1e-9
+
+
+def test_multilabel_auc():
+    y = np.array([[0, 1], [1, 1], [1, 0], [0, 0]])
+    s = np.array([[0.1, 0.9], [0.8, 0.7], [0.9, 0.2], [0.2, 0.1]])
+    v = mh.roc_auc_multilabel(y, s)
+    assert 0.9 < v <= 1.0
+
+
+# ---------------- loop + checkpoint ----------------
+
+def _loop(tmp_path, steps=6, resume=True):
+    from dna_tpu.train.loop import TrainLoop
+
+    cfg = get_experiment("dnabert2_pretrain_tiny", [
+        "data.batch_size=16",
+        f"train.checkpoint_dir={tmp_path}/ckpt",
+        "train.checkpoint_every=3",
+        "train.log_every=2",
+        f"train.steps={steps}",
+        f"train.resume={'true' if resume else 'false'}",
+    ])
+    mesh = build_mesh(MeshConfig(dp=4, fsdp=2))
+    exp = build(cfg, mesh=mesh)
+    return TrainLoop(exp, log_dir=str(tmp_path), verbose=False)
+
+
+def test_loop_runs_and_checkpoints(tmp_path):
+    loop = _loop(tmp_path)
+    res = loop.run()
+    assert res.steps_done == 6
+    assert np.isfinite(res.final_metrics["loss"])
+    assert loop.ckpt.latest_step() == 6
+    loop.ckpt.close()
+
+    # resume continues from step 6 without redoing work
+    loop2 = _loop(tmp_path, steps=8)
+    res2 = loop2.run()
+    assert res2.steps_done == 2
+    assert int(loop2.state.step) == 8
+    loop2.ckpt.close()
+
+
+def test_backbone_transfer():
+    import flax
+    import jax.numpy as jnp
+    from dna_tpu.config.core import ModelConfig
+    from dna_tpu.models.bert import BertForMLM, BertForSequenceClassification
+    from dna_tpu.train.checkpoint import load_backbone
+
+    mcfg = ModelConfig(vocab_size=32, d_model=16, n_layers=1, n_heads=2,
+                       d_ff=32, use_flash=False, dtype="float32")
+    ids = jnp.zeros((1, 8), jnp.int32)
+    mlm = BertForMLM(mcfg).init(jax.random.key(0), ids, None,
+                                deterministic=True)["params"]
+    cls = BertForSequenceClassification(mcfg).init(
+        jax.random.key(1), ids, None, deterministic=True)["params"]
+
+    merged = load_backbone(cls, mlm, strict=False)
+    # encoder weights transferred
+    a = flax.traverse_util.flatten_dict(flax.core.unfreeze(merged))
+    b = flax.traverse_util.flatten_dict(flax.core.unfreeze(mlm))
+    key = next(p for p in a if "layer_0" in p and "wqkv" in p and p[-1] == "kernel")
+    old = next(b[p] for p in b if "layer_0" in p and "wqkv" in p and p[-1] == "kernel")
+    import numpy as np
+    av = a[key].unbox() if hasattr(a[key], "unbox") else a[key]
+    ov = old.unbox() if hasattr(old, "unbox") else old
+    np.testing.assert_array_equal(np.asarray(av), np.asarray(ov))

@@ -1,0 +1,151 @@
+"""NTv2/ESM and CNN family tests: shapes, rotary properties, RC gating,
+trainability on planted signal."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dna_tpu.config.core import ModelConfig
+from dna_tpu.models.cnn import ConvNeXt1D, DeepSTARRCNN, DenoiseCNN, rc_ids, to_acgtn
+from dna_tpu.models.esm import EsmForMaskedLM, EsmForSequenceClassification, LearnedRotary
+
+
+def test_rotary_preserves_norm():
+    rot = LearnedRotary(head_dim=16, n_heads=4)
+    q = jax.random.normal(jax.random.key(0), (2, 32, 4, 16))
+    k = jax.random.normal(jax.random.key(1), (2, 32, 4, 16))
+    params = rot.init(jax.random.key(2), q, k)
+    q2, k2 = rot.apply(params, q, k)
+    # rotations preserve per-vector norm
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(q2), axis=-1),
+        np.linalg.norm(np.asarray(q), axis=-1), rtol=1e-5)
+
+
+def test_rotary_relative_position():
+    """Rotary q·k depends only on relative offset (per head)."""
+    rot = LearnedRotary(head_dim=8, n_heads=1)
+    v = jax.random.normal(jax.random.key(0), (8,))
+    q = jnp.tile(v, (1, 16, 1, 1))
+    k = jnp.tile(v, (1, 16, 1, 1))
+    params = rot.init(jax.random.key(1), q, k)
+    q2, k2 = rot.apply(params, q, k)
+    dots = np.asarray(jnp.einsum("bshd,bthd->bst", q2, k2))[0]
+    # same-offset dot products equal along diagonals
+    np.testing.assert_allclose(np.diag(dots, 3), np.diag(dots, 3)[0],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.diag(dots, -5), np.diag(dots, -5)[0],
+                               rtol=1e-4)
+
+
+def test_esm_mlm_shapes_and_finite():
+    cfg = ModelConfig(name="ntv2", vocab_size=64, d_model=32, n_layers=2,
+                      n_heads=4, d_ff=64, rotary=True, alibi=False,
+                      dtype="float32")
+    model = EsmForMaskedLM(cfg)
+    ids = jax.random.randint(jax.random.key(0), (2, 24), 0, 64)
+    mask = jnp.ones((2, 24), jnp.int32).at[:, 20:].set(0)
+    params = model.init(jax.random.key(1), ids, mask, deterministic=True)
+    logits = model.apply(params, ids, mask, deterministic=True)
+    assert logits.shape == (2, 24, 64)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_esm_mlm_trains():
+    """A tiny NTv2/ESM must drive MLM loss down on a fixed batch."""
+    from dna_tpu.train.tasks import mlm_loss
+
+    cfg = ModelConfig(name="ntv2", vocab_size=16, d_model=32, n_layers=2,
+                      n_heads=4, d_ff=64, rotary=True, alibi=False,
+                      dtype="float32")
+    model = EsmForMaskedLM(cfg)
+    rng = np.random.default_rng(0)
+    base = rng.integers(7, 11, (8, 64)).astype(np.int32)
+    mask = rng.random((8, 64)) < 0.3
+    batch = {"input_ids": jnp.asarray(np.where(mask, 3, base)),
+             "labels": jnp.asarray(np.where(mask, base, -100))}
+
+    params = model.init(jax.random.key(0), batch["input_ids"], None,
+                        deterministic=True)["params"]
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, batch["input_ids"], None,
+                                 deterministic=True)
+            return mlm_loss(logits, batch)[0]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    first = None
+    for _ in range(60):
+        params, opt, loss = step(params, opt)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first - 0.4, (first, float(loss))
+
+
+def test_to_acgtn_and_rc():
+    char_ids = np.array([7, 8, 9, 10, 11, 4, 0])  # A C G T N PAD CLS
+    out = np.asarray(to_acgtn(jnp.asarray(char_ids)))
+    np.testing.assert_array_equal(out, [0, 1, 2, 3, 4, 4, 0])
+    rc = np.asarray(rc_ids(jnp.asarray([0, 1, 2, 3, 4])))
+    np.testing.assert_array_equal(rc, [3, 2, 1, 0, 4])
+
+
+@pytest.mark.parametrize("mode", ["dilation", "pure_gate"])
+def test_denoise_cnn_shapes(mode):
+    m = DenoiseCNN(hidden_dim=32, num_conv1d=3, mode=mode, n_out=2,
+                   head="cls")
+    ids = jax.random.randint(jax.random.key(0), (2, 64), 0, 5)
+    params = m.init(jax.random.key(1), ids)
+    out = m.apply(params, ids)
+    assert out.shape == (2, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_denoise_cnn_fits_planted_signal():
+    from dna_tpu.data.synthetic import SyntheticClassificationDataset
+
+    m = DenoiseCNN(hidden_dim=32, num_conv1d=3, n_out=2, head="cls")
+    ds = SyntheticClassificationDataset(max_length=64, num_samples=64)
+    xs = jnp.asarray(np.stack([ds[i]["input_ids"] for i in range(64)]))
+    ys = jnp.asarray(np.stack([ds[i]["labels"] for i in range(64)]))
+    params = m.init(jax.random.key(0), xs[:2])["params"]
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            logits = m.apply({"params": p}, xs)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, ys).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    for _ in range(80):
+        params, opt, loss = step(params, opt)
+    logits = m.apply({"params": params}, xs)
+    acc = float((jnp.argmax(logits, -1) == ys).mean())
+    assert acc > 0.85, acc
+
+
+def test_convnext_and_deepstarr_shapes():
+    ids = jax.random.randint(jax.random.key(0), (2, 248), 0, 5)
+    cx = ConvNeXt1D(n_out=3)
+    p = cx.init(jax.random.key(1), ids)
+    assert cx.apply(p, ids).shape == (2, 3)
+
+    ds = DeepSTARRCNN(n_out=2, dropout=0.0)
+    p = ds.init(jax.random.key(2), ids)
+    out = ds.apply(p, ids)
+    assert out.shape == (2, 2)
+    assert np.isfinite(np.asarray(out)).all()
