@@ -111,9 +111,11 @@ class SyntheticClassificationDataset:
         label = int(rng.integers(0, self.n_classes))
         seq = random_dna(rng, self.max_length)
         if label == 1 and self.n_classes == 2:
-            # plant the motif at a random position
-            pos = int(rng.integers(0, self.max_length - len(self.motif)))
-            seq = seq[:pos] + self.motif + seq[pos + len(self.motif):]
+            # plant several copies of the motif so the signal is learnable
+            # from stochastic minibatches
+            for _ in range(3):
+                pos = int(rng.integers(0, self.max_length - len(self.motif)))
+                seq = seq[:pos] + self.motif + seq[pos + len(self.motif):]
         ids = self.tokenizer.encode(seq)
         return {"input_ids": ids.astype(np.int32),
                 "labels": np.asarray(label, dtype=np.int32)}

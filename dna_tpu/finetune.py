@@ -1,0 +1,87 @@
+"""Finetune harness + seed-sweep driver.
+
+Replaces the reference's bash seed-sweep drivers (`py_train.sh:18-40`,
+`experiment_caduceus.sh`, aggregator `py_cal_mean.py:16-46`) — the de-facto
+regression suite (SURVEY §4.1): run a finetune config over N seeds, track the
+best validation metric per seed, aggregate mean/min/max.
+
+Usage:
+    from dna_tpu.finetune import finetune, seed_sweep
+    result = seed_sweep(cfg, seeds=[2222, 42, 43], monitor="val/mcc")
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import replace
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from dna_tpu.config.core import ExperimentConfig
+from dna_tpu.experiments import Experiment, build
+from dna_tpu.train.loop import TrainLoop
+
+
+def finetune(cfg: ExperimentConfig, *, eval_dataset=None, train_dataset=None,
+             monitor: str = "val/acc", monitor_mode: str = "max",
+             host_metrics: Sequence[str] = ("mcc", "f1"),
+             pretrained_params=None, mesh=None,
+             verbose: bool = False) -> Dict[str, Any]:
+    """One finetune run; returns history + best monitor value."""
+    exp = build(cfg, mesh=mesh)
+    if train_dataset is not None:
+        exp = dataclasses.replace(exp, dataset=train_dataset)
+    loop = TrainLoop(exp, eval_dataset=eval_dataset, monitor=monitor,
+                     monitor_mode=monitor_mode, host_metrics=host_metrics,
+                     verbose=verbose)
+    if pretrained_params is not None:
+        from dna_tpu.train.checkpoint import load_backbone
+        import flax.linen as nn
+        import jax
+
+        params = nn.meta.unbox(loop.state.params)
+        merged = load_backbone(params, nn.meta.unbox(pretrained_params),
+                               strict=False)
+        # re-box: replace each array leaf, keeping metadata boxes from state
+        boxed = jax.tree_util.tree_map(
+            lambda box, new: box.replace_boxed(new) if hasattr(box, "replace_boxed") else new,
+            loop.state.params, merged,
+            is_leaf=lambda x: hasattr(x, "unbox"))
+        loop.state = loop.state.replace(params=boxed)
+    res = loop.run()
+    if res.best_metric is None and eval_dataset is not None:
+        ev = loop.evaluate()
+        res = dataclasses.replace(res, best_metric=ev.get(monitor),
+                                  history=res.history + [ev])
+    return {"best": res.best_metric, "final": res.final_metrics,
+            "history": res.history}
+
+
+def seed_sweep(cfg: ExperimentConfig, *, seeds: Sequence[int] = (2222, 42, 43),
+               monitor: str = "val/mcc", monitor_mode: str = "max",
+               host_metrics: Sequence[str] = ("mcc", "f1"),
+               eval_dataset=None, train_dataset=None, mesh=None,
+               verbose: bool = False) -> Dict[str, Any]:
+    """Reference seed-sweep protocol: per-seed best-val metric, then
+    mean/min/max across seeds (`py_cal_mean.py:16-46`)."""
+    per_seed: List[float] = []
+    for seed in seeds:
+        run_cfg = replace(cfg, train=replace(cfg.train, seed=seed),
+                          data=replace(cfg.data, seed=seed))
+        out = finetune(run_cfg, eval_dataset=eval_dataset,
+                       train_dataset=train_dataset, monitor=monitor,
+                       monitor_mode=monitor_mode, host_metrics=host_metrics,
+                       mesh=mesh, verbose=verbose)
+        if out["best"] is not None:
+            per_seed.append(float(out["best"]))
+    agg = {
+        "seeds": list(seeds),
+        "per_seed": per_seed,
+        "mean": float(np.mean(per_seed)) if per_seed else None,
+        "min": float(np.min(per_seed)) if per_seed else None,
+        "max": float(np.max(per_seed)) if per_seed else None,
+        "monitor": monitor,
+    }
+    return agg
