@@ -162,6 +162,9 @@ class ModelConfig:
     # classification / regression heads
     n_classes: int = 2
     pool: str = "mean"  # mean | last | first | sum
+    # LM-backbone mixer family: hyena | mamba (attention layers selected
+    # separately via attn_layer_idx, reference `create_mixer_cls`)
+    mixer: str = "hyena"
     # attention
     use_flash: bool = True
     rotary: bool = False
@@ -171,6 +174,9 @@ class ModelConfig:
     norm_eps: float = 1e-12
     pad_token_id: int = 3
     remat: bool = False
+    # rematerialization policy: "full" recomputes everything;
+    # "dots" saves matmul outputs (less recompute, more memory)
+    remat_policy: str = "full"
 
 
 @dataclass(frozen=True)

@@ -326,3 +326,121 @@ def _bert_hg38(tokenizer, cfg):
     return BertHG38Dataset(cfg.bed_path, cfg.fasta_path, tokenizer,
                            max_length=cfg.max_length, rc_aug=cfg.rc_aug,
                            mlm_probability=cfg.mlm_probability, seed=cfg.seed)
+
+
+class DNABertSPairDataset(_ClassificationBase):
+    """DNABERT-S pair corpus: CSV with `seq_a`,`seq_b` columns; one column
+    selected per instance for MLM pretraining (reference `DNABERTSDataset`,
+    `datasets/dnaberts.py:105-180`)."""
+
+    def __init__(self, csv_path: str, tokenizer, *, seq_name: str = "seq_a",
+                 max_length: int = 128, mlm_probability: float = 0.15,
+                 seed: int = 0):
+        assert seq_name in ("seq_a", "seq_b")
+        self.rows: List[str] = []
+        with open(csv_path) as f:
+            for row in csv.DictReader(f):
+                self.rows.append(row[seq_name])
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.mlm_probability = mlm_probability
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, idx):
+        from dna_tpu.data import masking
+
+        ids = _tokenize_fixed(self.tokenizer, self.rows[idx].upper(),
+                              self.max_length)
+        rng = np.random.default_rng((self.seed, idx))
+        masked, mask, labels = masking.bert_mask_numpy(
+            ids, rng,
+            mask_token_id=self.tokenizer.mask_token_id,
+            pad_token_id=self.tokenizer.pad_token_id,
+            vocab_size=self.tokenizer.vocab_size,
+            special_token_ids=self.tokenizer.special_token_ids,
+            mask_prob=self.mlm_probability)
+        return {"input_ids": masked.astype(np.int32), "mask": mask,
+                "labels": labels.astype(np.int32),
+                "attention_mask": (ids != self.tokenizer.pad_token_id
+                                   ).astype(np.int32)}
+
+
+class ChromatinProfileDataset(_ClassificationBase):
+    """hg19/hg38 coordinate CSV + per-row binary target vector columns
+    (DeepSEA-style; reference `chromatin_profile_dataset.py`). CSV columns:
+    Chr_No (or chrom), Start, plus y_* target columns."""
+
+    def __init__(self, csv_path: str, fasta_path: str, tokenizer, *,
+                 max_length: int = 1000, seed: int = 0):
+        self.fasta = FastaFile(fasta_path)
+        self.coords: List[Tuple[str, int]] = []
+        targets: List[List[float]] = []
+        with open(csv_path) as f:
+            reader = csv.DictReader(f)
+            ycols = [c for c in reader.fieldnames if c.startswith("y")]
+            for row in reader:
+                chrom = row.get("Chr_No") or row.get("chrom") or row.get("Chr")
+                self.coords.append((chrom, int(row.get("Start")
+                                               or row.get("start"))))
+                targets.append([float(row[c]) for c in ycols])
+        self.targets = np.asarray(targets, dtype=np.float32)
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.coords)
+
+    def __getitem__(self, idx):
+        chrom, start = self.coords[idx]
+        seq = self.fasta.fetch(chrom, start, start + self.max_length)
+        ids = _tokenize_fixed(self.tokenizer, seq.upper(), self.max_length)
+        return {"input_ids": ids, "labels": self.targets[idx]}
+
+
+class HG38FixedDataset:
+    """Deterministic non-overlapping fixed-length windows over given
+    chromosomes, for apples-to-apples eval (reference `HG38FixedDataset`,
+    `genomics.py:700-763`, Enformer-style chr14/chrX ranges)."""
+
+    def __init__(self, fasta_path: str, tokenizer, *,
+                 chromosomes: Sequence[str] = ("chr14",),
+                 max_length: int = 1024, mlm: bool = False,
+                 mlm_probability: float = 0.15, seed: int = 0):
+        self.fasta = FastaFile(fasta_path)
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.mlm = mlm
+        self.mlm_probability = mlm_probability
+        self.seed = seed
+        self.windows: List[Tuple[str, int]] = []
+        for c in chromosomes:
+            clen = self.fasta.length(c)
+            for s in range(0, clen - max_length - 1, max_length):
+                self.windows.append((c, s))
+
+    def __len__(self):
+        return len(self.windows)
+
+    def __getitem__(self, idx):
+        chrom, start = self.windows[idx]
+        seq = self.fasta.fetch(chrom, start, start + self.max_length + 1)
+        ids = self.tokenizer.encode(seq.upper(), add_special_tokens=False)
+        ids = self.tokenizer.pad(ids, self.max_length + 1).astype(np.int32)
+        if not self.mlm:
+            return {"input_ids": ids[:-1], "labels": ids[1:]}
+        from dna_tpu.data import masking
+
+        rng = np.random.default_rng((self.seed, idx))
+        masked, mask, labels = masking.bert_mask_numpy(
+            ids[:-1], rng,
+            mask_token_id=self.tokenizer.mask_token_id,
+            pad_token_id=self.tokenizer.pad_token_id,
+            vocab_size=self.tokenizer.vocab_size,
+            special_token_ids=self.tokenizer.special_token_ids,
+            mask_prob=self.mlm_probability)
+        return {"input_ids": masked.astype(np.int32), "mask": mask,
+                "labels": labels.astype(np.int32)}

@@ -74,8 +74,8 @@ def hg38_hyena() -> ExperimentConfig:
     L=1024 char-level)."""
     return ExperimentConfig(
         name="hg38_hyena",
-        model=ModelConfig(name="hyena_lm", d_model=128, n_layers=2, n_heads=1,
-                          d_ff=512, max_len=1024, hyena_order=2,
+        model=ModelConfig(name="hyena_lm", d_model=256, n_layers=4, n_heads=1,
+                          d_ff=1024, max_len=1024, hyena_order=2,
                           hyena_filter_order=64, hyena_filter_emb_dim=5),
         data=DataConfig(dataset="synthetic_lm", tokenizer="char",
                         max_length=1024, batch_size=256),
@@ -163,6 +163,7 @@ def build(cfg: ExperimentConfig, mesh=None) -> Experiment:
     import dna_tpu.models  # noqa: F401 — populate registries
     import dna_tpu.data  # noqa: F401
     import dna_tpu.train  # noqa: F401
+    import dna_tpu.catalog  # noqa: F401
 
     tokenizer = get_tokenizer(cfg.data.tokenizer, cfg.data.tokenizer_path)
     mcfg = _model_vocab_for_tokenizer(cfg.model, tokenizer)
@@ -180,6 +181,7 @@ def build(cfg: ExperimentConfig, mesh=None) -> Experiment:
 
 def get_experiment(name: str, overrides=()) -> ExperimentConfig:
     from dna_tpu.config.core import apply_overrides
+    import dna_tpu.catalog  # noqa: F401 — populate the experiment registry
 
     cfg = registry.experiment[name]()
     return apply_overrides(cfg, list(overrides))

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from dna_tpu import registry
 from dna_tpu.config.core import ModelConfig
 from dna_tpu.models.layers import (
+    _remat_policy,
     GLUMlp,
     SequencePool,
     TokenEmbed,
@@ -90,7 +91,8 @@ class BertEncoder(nn.Module):
             self.embed_dropout = nn.Dropout(cfg.dropout)
         BlockCls = BertLayer
         if cfg.remat:
-            BlockCls = nn.remat(BertLayer, static_argnums=(), prevent_cse=False)
+            BlockCls = nn.remat(BertLayer, prevent_cse=False,
+                                policy=_remat_policy(cfg.remat_policy))
         self.layers = [BlockCls(cfg, name=f"layer_{i}")
                        for i in range(cfg.n_layers)]
 

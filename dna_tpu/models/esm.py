@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from dna_tpu import registry
 from dna_tpu.config.core import ModelConfig
-from dna_tpu.models.layers import SequencePool, TokenEmbed, dense, layer_norm
+from dna_tpu.models.layers import (SequencePool, TokenEmbed, _remat_policy,
+                                    dense, layer_norm)
 from dna_tpu.ops.attention import multihead_attention
 
 
@@ -133,7 +134,9 @@ class EsmEncoder(nn.Module):
         cfg = self.cfg
         self.embed = TokenEmbed(cfg.vocab_size, cfg.d_model,
                                 dtype=jnp.dtype(cfg.dtype))
-        LayerCls = nn.remat(EsmLayer, prevent_cse=False) if cfg.remat else EsmLayer
+        LayerCls = (nn.remat(EsmLayer, prevent_cse=False,
+                             policy=_remat_policy(cfg.remat_policy))
+                    if cfg.remat else EsmLayer)
         self.layers = [LayerCls(cfg, name=f"layer_{i}")
                        for i in range(cfg.n_layers)]
         self.final_ln = layer_norm(eps=cfg.norm_eps)
@@ -187,6 +190,28 @@ class EsmForSequenceClassification(nn.Module):
         pooled = SequencePool(cfg.pool)(h, attention_mask)
         return dense(cfg.n_classes, ("embed", "vocab"), dtype=jnp.float32,
                      name="score")(pooled.astype(jnp.float32))
+
+
+class EsmForTokenClassification(nn.Module):
+    """Per-position classification head (reference
+    `EsmForTokenClassification`, `modeling_esm.py:1460+`)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array,
+                 attention_mask: Optional[jax.Array] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        h = EsmEncoder(cfg, name="esm")(input_ids, attention_mask,
+                                        deterministic=deterministic)
+        return dense(cfg.n_classes, ("embed", "vocab"), dtype=jnp.float32,
+                     name="classifier")(h.astype(jnp.float32))
+
+
+@registry.model.register("ntv2_token_cls")
+def _ntv2_token_cls(cfg: ModelConfig):
+    return EsmForTokenClassification(cfg)
 
 
 @registry.model.register("ntv2")

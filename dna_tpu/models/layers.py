@@ -139,3 +139,15 @@ class SequencePool(nn.Module):
         if self.mode == "first":
             return x[:, 0]
         raise ValueError(f"unknown pool mode {self.mode!r}")
+
+
+def _remat_policy(name: str):
+    """Map a config string to a jax.checkpoint policy (None = save nothing,
+    i.e. full recompute)."""
+    if name in ("full", "", "none", None):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.checkpoint_dots
+    if name == "dots_no_batch":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat policy {name!r}")

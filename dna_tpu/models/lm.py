@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from dna_tpu import registry
 from dna_tpu.config.core import ModelConfig
-from dna_tpu.models.layers import Mlp, SequencePool, TokenEmbed, dense, layer_norm
+from dna_tpu.models.layers import (Mlp, SequencePool, TokenEmbed,
+                                    _remat_policy, dense, layer_norm)
 from dna_tpu.models.hyena import HyenaOperator
 from dna_tpu.ops.attention import multihead_attention
 
@@ -65,6 +66,17 @@ class LMBlock(nn.Module):
         if self.layer_idx in self.attn_layer_idx:
             h = MHAMixer(cfg, causal=self.causal, name="mixer")(
                 h, deterministic=deterministic)
+        elif cfg.mixer == "mamba":
+            from dna_tpu.models.mamba import BiMambaWrapper, Mamba
+
+            if self.causal:
+                h = Mamba(cfg.d_model, cfg.d_state, cfg.d_conv, cfg.expand,
+                          dtype=jnp.dtype(cfg.dtype), name="mixer")(h)
+            else:
+                h = BiMambaWrapper(
+                    cfg.d_model, cfg.d_state, cfg.d_conv, cfg.expand,
+                    strategy=cfg.bidirectional_strategy,
+                    dtype=jnp.dtype(cfg.dtype), name="mixer")(h)
         else:
             h = HyenaOperator(
                 d_model=cfg.d_model, l_max=self.l_max, order=cfg.hyena_order,
@@ -103,7 +115,8 @@ class LMBackbone(nn.Module):
                 (self.l_max, cfg.d_model), jnp.float32)
         BlockCls = LMBlock
         if cfg.remat:
-            BlockCls = nn.remat(LMBlock, prevent_cse=False)
+            BlockCls = nn.remat(LMBlock, prevent_cse=False,
+                                policy=_remat_policy(cfg.remat_policy))
         self.blocks = [
             BlockCls(cfg, layer_idx=i, attn_layer_idx=tuple(self.attn_layer_idx),
                      l_max=self.l_max, causal=self.causal, name=f"layer_{i}")
@@ -182,3 +195,19 @@ def _hyena_cls(cfg: ModelConfig, l_max: Optional[int] = None):
 def _transformer_lm(cfg: ModelConfig, l_max: Optional[int] = None):
     return LMHeadModel(cfg, attn_layer_idx=tuple(range(cfg.n_layers)),
                        l_max=l_max or cfg.max_len, causal=True)
+
+
+@registry.model.register("hyena_blm")
+def _hyena_blm(cfg: ModelConfig, l_max: Optional[int] = None):
+    """Bidirectional LM-backbone MLM (reference `BertLMHeadModel` / `blm`,
+    `long_conv_lm.py:578-682`: same backbone, bidirectional mixers)."""
+    return LMHeadModel(cfg, l_max=l_max or cfg.max_len, causal=False)
+
+
+@registry.model.register("mamba_lm")
+def _mamba_lm(cfg: ModelConfig, l_max: Optional[int] = None):
+    """Causal Mamba LM (reference `configs/experiment/hg38/mamba.yaml`)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, mixer="mamba")
+    return LMHeadModel(cfg, l_max=l_max or cfg.max_len, causal=True)

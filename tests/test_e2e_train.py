@@ -56,6 +56,7 @@ def test_mlm_loss_decreases():
     MeshConfig(dp=2, fsdp=2, tp=2),
     MeshConfig(dp=1, fsdp=4, tp=2),
     MeshConfig(dp=2, tp=4),
+    MeshConfig(dp=2, tp=2, sp=2),  # context parallel: seq axis sharded
 ])
 def test_mesh_layouts_agree(mesh_cfg):
     """The same data + init must give the same loss trajectory on any mesh
