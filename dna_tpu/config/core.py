@@ -105,6 +105,9 @@ class OptimizerConfig:
     # Per-layer learning-rate decay (reference `train.py:489-523`).
     layer_decay: Optional[float] = None
     grad_clip: Optional[float] = 1.0
+    # Gradient accumulation (reference `accumulate_grad_batches`,
+    # `train.py:644-661`): one optimizer step per N micro-batches.
+    accumulate_steps: int = 1
 
 
 @dataclass(frozen=True)

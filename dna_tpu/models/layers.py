@@ -66,11 +66,13 @@ class TokenEmbed(nn.Module):
         return nn.with_logical_constraint(out, ("batch", "seq", "act_embed"))
 
     def attend(self, x: jax.Array) -> jax.Array:
-        """Tied-decoder logits: x @ embeddingᵀ."""
+        """Tied-decoder logits: x @ embeddingᵀ. bf16 operands on the MXU,
+        fp32 accumulation/output (4× the fp32 matmul rate; CE stays fp32)."""
         table = self.get_variable("params", "embedding")
         if hasattr(table, "unbox"):
             table = table.unbox()
-        return jnp.einsum("bsd,vd->bsv", x.astype(jnp.float32), table,
+        return jnp.einsum("bsd,vd->bsv", x.astype(self.dtype),
+                          table.astype(self.dtype),
                           preferred_element_type=jnp.float32)
 
 

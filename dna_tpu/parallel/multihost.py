@@ -1,0 +1,72 @@
+"""Multi-host SPMD initialization and per-host data sharding glue.
+
+Replaces the reference's NCCL/DDP process-group bootstrap
+(`src/utils/distributed.py:21-35`, PL DDP spawn): on TPU pods each host
+runs the same program; `jax.distributed.initialize()` wires the fleet and
+every jit over a global mesh spans all chips. Data: each host feeds its own
+shard of the global batch (`ShardedLoader(host_id=process_index)`) and
+`make_global_array` assembles the logically-global array from local shards.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX. On TPU pods with standard env vars this is
+    zero-config; explicit args support manual bring-up. No-op if already
+    initialized or single-process."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # single-process / already initialized
+
+
+def host_info() -> Dict[str, int]:
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_device_count": jax.local_device_count(),
+        "global_device_count": jax.device_count(),
+    }
+
+
+def make_global_array(local_batch: np.ndarray, mesh: Mesh,
+                      pspec: P) -> jax.Array:
+    """Assemble a global jax.Array from this host's shard of the batch
+    (every host holds rows [h*B/H, (h+1)*B/H) of the global batch)."""
+    sharding = NamedSharding(mesh, pspec)
+    global_shape = (local_batch.shape[0] * jax.process_count(),
+                    *local_batch.shape[1:])
+    local_devices = [d for d in mesh.devices.flat
+                     if d.process_index == jax.process_index()]
+    # rows per local device
+    per_dev = local_batch.shape[0] // max(len(local_devices), 1)
+    arrays = [
+        jax.device_put(local_batch[i * per_dev:(i + 1) * per_dev], d)
+        for i, d in enumerate(local_devices)
+    ]
+    return jax.make_array_from_single_device_arrays(
+        global_shape, sharding, arrays)
+
+
+def shard_batch_for_host(loader_kwargs: dict) -> dict:
+    """Patch ShardedLoader kwargs with this process's slot."""
+    out = dict(loader_kwargs)
+    out.setdefault("host_id", jax.process_index())
+    out.setdefault("host_count", jax.process_count())
+    return out

@@ -136,4 +136,7 @@ def build_optimizer(ocfg: OptimizerConfig, scfg: SchedulerConfig,
         chains.append(optax.GradientTransformation(
             lambda params: optax.EmptyState(), scale_update))
 
-    return optax.chain(*chains), schedule
+    tx = optax.chain(*chains)
+    if ocfg.accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=ocfg.accumulate_steps)
+    return tx, schedule
