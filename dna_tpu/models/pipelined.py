@@ -1,0 +1,109 @@
+"""Pipeline-parallel model variant: DNABERT-2 encoder over the pp axis.
+
+Layers are initialized stacked ([n_layers, ...] per leaf, logical axis
+"layers" → mesh axis "pp") and executed by the GPipe scheduler
+(`dna_tpu.parallel.pipeline.gpipe`): each pp rank holds n_layers/pp layers;
+microbatched activations flow through stages via ppermute. Embeddings and
+the LM head run replicated outside the pipeline region.
+
+This complements dp/fsdp/tp/sp for models whose layer stack exceeds one
+chip's HBM — a capability the reference lacks entirely (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dna_tpu import registry
+from dna_tpu.config.core import ModelConfig
+from dna_tpu.models.bert import BertLayer
+from dna_tpu.models.layers import TokenEmbed, dense, layer_norm
+from dna_tpu.parallel.pipeline import gpipe, microbatch, unmicrobatch
+
+
+class PipelinedBertForMLM(nn.Module):
+    """BertForMLM with the layer stack executed as a pp-stage pipeline."""
+
+    cfg: ModelConfig
+    pp: int = 1
+    n_microbatches: int = 4
+    mesh: Optional[object] = None  # jax Mesh (static for a built model)
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array,
+                 attention_mask: Optional[jax.Array] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        assert cfg.n_layers % max(self.pp, 1) == 0, \
+            f"{cfg.n_layers} layers not divisible by pp={self.pp}"
+        dtype = jnp.dtype(cfg.dtype)
+
+        embed = TokenEmbed(cfg.vocab_size, cfg.d_model, dtype=dtype,
+                           name="embed")
+        x = embed(input_ids)
+        x = layer_norm(eps=cfg.norm_eps, name="embed_ln")(x).astype(dtype)
+
+        layer = BertLayer(cfg)
+        dummy = x[:1]
+
+        def init_stacked(rng):
+            keys = jax.random.split(rng, cfg.n_layers)
+
+            def one(k):
+                return nn.meta.unbox(
+                    layer.init(k, dummy, None, deterministic=True)["params"])
+
+            stacked = jax.vmap(one)(keys)
+            return jax.tree_util.tree_map(
+                lambda a: nn.Partitioned(
+                    a, names=("layers",) + (None,) * (a.ndim - 1)),
+                stacked)
+
+        stacked_params = nn.meta.unbox(self.param("layers", init_stacked))
+
+        if self.pp > 1 and self.mesh is not None:
+            per_stage = cfg.n_layers // self.pp
+            stage_tree = jax.tree_util.tree_map(
+                lambda a: a.reshape(self.pp, per_stage, *a.shape[1:]),
+                stacked_params)
+
+            def stage_fn(stage_params, h):
+                def body(h, lp):
+                    return layer.apply({"params": lp}, h, None,
+                                       deterministic=True), None
+
+                h, _ = jax.lax.scan(body, h, stage_params)
+                return h
+
+            xm = microbatch(x, self.n_microbatches)
+            xm = gpipe(stage_fn, stage_tree, xm, mesh=self.mesh)
+            x = unmicrobatch(xm)
+        else:
+            def body(h, lp):
+                return layer.apply({"params": lp}, h, None,
+                                   deterministic=True), None
+
+            x, _ = jax.lax.scan(body, x, stacked_params)
+
+        h = dense(cfg.d_model, ("embed", "embed_out"), dtype=dtype,
+                  name="transform")(x)
+        h = nn.gelu(h, approximate=False)
+        h = layer_norm(eps=cfg.norm_eps, name="transform_ln")(h)
+        logits = embed.attend(h)
+        bias = self.param(
+            "decoder_bias",
+            nn.with_logical_partitioning(nn.initializers.zeros, ("vocab",)),
+            (cfg.vocab_size,), jnp.float32)
+        return nn.with_logical_constraint(logits + bias,
+                                          ("batch", "seq", "vocab"))
+
+
+@registry.model.register("dnabert2_pp")
+def _dnabert2_pp(cfg: ModelConfig, pp: int = 1, n_microbatches: int = 4,
+                 mesh=None):
+    return PipelinedBertForMLM(cfg, pp=pp, n_microbatches=n_microbatches,
+                               mesh=mesh)
