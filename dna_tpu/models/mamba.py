@@ -36,7 +36,7 @@ import numpy as np
 from dna_tpu import registry
 from dna_tpu.config.core import ModelConfig
 from dna_tpu.models.layers import SequencePool, dense, rms_norm
-from dna_tpu.ops.scan import selective_scan
+from dna_tpu.ops.scan import selective_scan_auto
 
 # Char-tokenizer complement map (A=7<->T=10, C=8<->G=9; specials/N to self),
 # reference `tokenization_caduceus.py` complement semantics.
@@ -121,7 +121,7 @@ class MambaCore(nn.Module):
             (di,), jnp.float32)
 
         A = -jnp.exp(A_log)
-        y = selective_scan(
+        y = selective_scan_auto(
             x, dt, A, B, C, D=ssm_D, z=z, delta_bias=dt_bias,
             delta_softplus=True, chunk=self.scan_chunk)
         return y.astype(self.dtype)

@@ -96,8 +96,12 @@ def selective_scan(
     delta_bias: Optional[jax.Array] = None,
     delta_softplus: bool = False,
     return_last_state: bool = False,
-    chunk: int = 128,
+    chunk: Optional[int] = None,
 ):
+    import os as _os
+
+    if chunk is None:
+        chunk = int(_os.environ.get("DNA_TPU_SCAN_CHUNK", "128"))
     """Chunked parallel scan; identical numerics to `selective_scan_ref`."""
     orig_dtype = u.dtype
     u32, delta, A, Bm, Cm = _inputs_fp32(u, delta, A, B, C, D, z, delta_bias,
@@ -122,7 +126,10 @@ def selective_scan(
         y = jnp.einsum("bcdn,bcn->bcd", h, C_c)
         return h[:, -1], y
 
-    chunk_body = jax.checkpoint(chunk_body)
+    import os as _os
+
+    if _os.environ.get("DNA_TPU_SCAN_REMAT", "1") == "1":
+        chunk_body = jax.checkpoint(chunk_body)
 
     to_chunks = lambda x: x.reshape(Bsz, nc, chunk, -1).swapaxes(0, 1)
     xs = (to_chunks(u32), to_chunks(delta), to_chunks(Bm), to_chunks(Cm))
@@ -136,3 +143,28 @@ def selective_scan(
         y = y * jax.nn.silu(z.astype(jnp.float32))
     y = y.astype(orig_dtype)
     return (y, h_last) if return_last_state else y
+
+
+def selective_scan_auto(
+    u, delta, A, B, C, D=None, z=None, delta_bias=None,
+    delta_softplus: bool = False, return_last_state: bool = False,
+    chunk: Optional[int] = None,
+):
+    """Dispatch: Pallas kernel on TPU (state stays in VMEM, one pass over L),
+    chunked associative scan elsewhere / when the last state is needed."""
+    import os as _os
+
+    impl = _os.environ.get("DNA_TPU_SCAN_IMPL", "auto")
+    use_pallas = (impl == "pallas") or (
+        impl == "auto" and jax.default_backend() == "tpu"
+        and not return_last_state)
+    if use_pallas:
+        from dna_tpu.ops.scan_pallas import selective_scan_pallas
+
+        return selective_scan_pallas(
+            u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
+            delta_softplus=delta_softplus)
+    return selective_scan(
+        u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
+        delta_softplus=delta_softplus, return_last_state=return_last_state,
+        chunk=chunk)

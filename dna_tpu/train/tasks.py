@@ -73,6 +73,22 @@ def lm_loss(logits: jax.Array, batch: Batch) -> LossOut:
     }
 
 
+@registry.task.register("hg38")
+def hg38_loss(logits: jax.Array, batch: Batch) -> LossOut:
+    """LM task + the reference HG38Task extras (`tasks.py:254-339`):
+    `last_k_ppl` (perplexity over the final k positions, k=512 or L/4) and
+    mean per-token CE."""
+    loss, metrics = lm_loss(logits, batch)
+    labels = batch["labels"]
+    ce = _cross_entropy(logits, labels)
+    k = min(512, max(labels.shape[-1] // 4, 1))
+    last_k = ce[..., -k:]
+    metrics = dict(metrics)
+    metrics["last_k_ppl"] = jnp.exp(last_k.mean())
+    metrics["per_token_ce"] = ce.mean()
+    return loss, metrics
+
+
 @registry.task.register("multiclass")
 def multiclass_loss(logits: jax.Array, batch: Batch) -> LossOut:
     labels = batch["labels"].reshape(-1)

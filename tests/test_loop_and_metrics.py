@@ -111,3 +111,23 @@ def test_backbone_transfer():
     av = a[key].unbox() if hasattr(a[key], "unbox") else a[key]
     ov = old.unbox() if hasattr(old, "unbox") else old
     np.testing.assert_array_equal(np.asarray(av), np.asarray(ov))
+
+
+def test_seqlen_warmup_stages(tmp_path):
+    """Staged seqlen-warmup (reference SeqlenWarmupReload): params/optimizer
+    carry across stage boundaries, each stage re-jits at its shape."""
+    from dna_tpu.train.loop import TrainLoop
+
+    cfg = get_experiment("dnabert2_pretrain_tiny", [
+        "data.batch_size=16", "train.log_every=0",
+    ])
+    import dataclasses as dc
+
+    cfg = dc.replace(cfg, train=dc.replace(
+        cfg.train, seqlen_stages=((32, 16, 4), (64, 8, 4))))
+    mesh = build_mesh(MeshConfig(dp=4, fsdp=2))
+    exp = build(cfg, mesh=mesh)
+    loop = TrainLoop(exp, verbose=False)
+    res = loop.run_stages()
+    assert int(loop.state.step) == 8  # 4 + 4 across both stages
+    assert np.isfinite(res.final_metrics["loss"])

@@ -152,3 +152,35 @@ def test_caduceus_mlm_trains():
         if first is None:
             first = float(loss)
     assert float(loss) < first - 0.3, (first, float(loss))
+
+
+def test_pallas_scan_matches_ref():
+    from dna_tpu.ops.scan_pallas import selective_scan_pallas
+
+    u, delta, A, Bm, Cm, Dv = _scan_inputs(jax.random.key(5), B=2, L=256, D=24,
+                                           N=8)
+    z = jax.random.normal(jax.random.key(8), u.shape)
+    kw = dict(D=Dv, z=z, delta_bias=jnp.ones(u.shape[-1]) * 0.1,
+              delta_softplus=True)
+    y_ref = selective_scan_ref(u, delta, A, Bm, Cm, **kw)
+    y = selective_scan_pallas(u, delta, A, Bm, Cm, **kw)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_scan_grads_match_ref():
+    from dna_tpu.ops.scan_pallas import selective_scan_pallas
+
+    u, delta, A, Bm, Cm, Dv = _scan_inputs(jax.random.key(6), B=1, L=256,
+                                           D=16, N=4)
+
+    def loss(fn, u, delta, A, Bm, Cm):
+        return (fn(u, delta, A, Bm, Cm, D=Dv, delta_softplus=True) ** 2).sum()
+
+    gp = jax.grad(lambda *a: loss(selective_scan_pallas, *a),
+                  argnums=(0, 1, 2, 3, 4))(u, delta, A, Bm, Cm)
+    gr = jax.grad(lambda *a: loss(selective_scan_ref, *a),
+                  argnums=(0, 1, 2, 3, 4))(u, delta, A, Bm, Cm)
+    for a, b, name in zip(gp, gr, ["du", "ddelta", "dA", "dB", "dC"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
