@@ -103,7 +103,10 @@ def fftconv(
             u_in = u
         y = _irfft(_rfft(u_in, fft_size) * k_f, fft_size)[..., :L, :]
     else:
-        y = _causal_fftconv(u, k, fft_size)
+        # enter the custom_vjp with fp32 primals so cotangent dtypes are
+        # uniform (bf16 inputs otherwise mismatch the fp32 backward)
+        y = _causal_fftconv(u.astype(jnp.float32), k.astype(jnp.float32),
+                            fft_size)
 
     if D is not None:
         y = y + u.astype(jnp.float32) * D
