@@ -11,16 +11,12 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import replace
-from typing import Any, Dict, Optional
-
-import jax
-import jax.numpy as jnp
+from typing import Any
 
 from dna_tpu import registry
 from dna_tpu.config.core import (
     DataConfig,
     ExperimentConfig,
-    MeshConfig,
     ModelConfig,
     OptimizerConfig,
     SchedulerConfig,

@@ -13,9 +13,8 @@ Usage:
 from __future__ import annotations
 
 import dataclasses
-import json
 from dataclasses import replace
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import numpy as np
 

@@ -24,11 +24,10 @@ import jax.numpy as jnp
 from dna_tpu import registry
 from dna_tpu.config.core import ModelConfig
 from dna_tpu.models.layers import (
-    _remat_policy,
     GLUMlp,
     SequencePool,
     TokenEmbed,
-    default_kernel_init,
+    _remat_policy,
     dense,
     layer_norm,
 )

@@ -26,7 +26,6 @@ parameter-path groups in `dna_tpu.train.optim` (paths contain
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import flax.linen as nn
 import jax

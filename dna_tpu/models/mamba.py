@@ -26,7 +26,7 @@ backed by the `mamba_ssm` CUDA kernels) and the Caduceus MLM family
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

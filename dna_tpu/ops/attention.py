@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from dna_tpu.ops.attention_ref import alibi_bias, attention_ref, padding_bias
 

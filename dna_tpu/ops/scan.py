@@ -22,8 +22,7 @@ oracle, mirroring the reference repo's `selective_scan_ref` in mamba_ssm.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,12 +12,9 @@ fault-tolerant samplers for this; here it is one small JSON).
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from dna_tpu.data.loader import LoaderState

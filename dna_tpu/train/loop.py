@@ -17,18 +17,18 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dna_tpu.config.core import ExperimentConfig
-from dna_tpu.data.loader import LoaderState, ShardedLoader
+from dna_tpu.data.loader import ShardedLoader
 from dna_tpu.experiments import Experiment
 from dna_tpu.train import metrics_host
 from dna_tpu.train.checkpoint import CheckpointManager
-from dna_tpu.train.state import TrainState, create_train_state, param_count
+from dna_tpu.train.state import create_train_state, param_count
 from dna_tpu.train.step import make_eval_step, make_predict_step, make_train_step
 
 

@@ -8,8 +8,6 @@ sklearn dependency. All functions take numpy arrays.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
-
 import numpy as np
 
 
