@@ -74,7 +74,8 @@ def main():
     state, shardings = create_train_state(
         init_params, exp.tx, mesh, exp.rules, jax.random.key(0))
     train_step = make_train_step(exp.model, exp.task_fn, exp.tx, mesh,
-                                 exp.rules, shardings)
+                                 exp.rules, shardings,
+                                 mlm_gather=exp.cfg.model.mlm_gather)
 
     n_params = param_count(state.params)
     print(f"# model params: {n_params/1e6:.1f}M, devices: {n_dev}, "

@@ -172,6 +172,10 @@ class ModelConfig:
     use_flash: bool = True
     rotary: bool = False
     alibi: bool = True
+    # Masked-position-only MLM head (reference masked-token-only prediction,
+    # `bert_layers.py:817-833`): gather this fraction of positions before the
+    # LM head + CE; 0 = full-length head.
+    mlm_gather: float = 0.0
     # misc
     tie_embeddings: bool = True
     norm_eps: float = 1e-12

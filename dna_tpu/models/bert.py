@@ -132,8 +132,12 @@ class BertForMLM(nn.Module):
 
     def __call__(self, input_ids: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
+                 positions: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
         h = self.encoder(input_ids, attention_mask, deterministic=deterministic)
+        if positions is not None:
+            # masked-token-only prediction (reference `bert_layers.py:817-833`)
+            h = jnp.take_along_axis(h, positions[..., None], axis=1)
         h = self.transform(h)
         h = nn.gelu(h, approximate=False)
         h = self.transform_ln(h)

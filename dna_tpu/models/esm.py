@@ -159,10 +159,13 @@ class EsmForMaskedLM(nn.Module):
     @nn.compact
     def __call__(self, input_ids: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
+                 positions: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
         cfg = self.cfg
         h = EsmEncoder(cfg, name="esm")(input_ids, attention_mask,
                                         deterministic=deterministic)
+        if positions is not None:
+            h = jnp.take_along_axis(h, positions[..., None], axis=1)
         h = dense(cfg.d_model, ("embed", "embed_out"),
                   dtype=jnp.dtype(cfg.dtype), name="head_dense")(h)
         h = 0.5 * h * (1.0 + jax.lax.erf(h.astype(jnp.float32) /

@@ -10,8 +10,8 @@ TPU-native re-design of the reference `src/models/sequence/hyena.py:311-513`
   * recurrence: v ← (v ∘ x_i) ⊛ k_o + bias_o·v for each order, final gate
     with x_0, out_proj (`hyena.py:475-505`)
 
-The FFT conv runs through `dna_tpu.ops.fftconv` (XLA FFT, custom_vjp) in
-channel-minor layout; everything else stays [B, L, D]. The filter MLP is
+The FFT conv runs through `dna_tpu.ops.fftconv` (XLA FFT, custom_vjp)
+along the sequence axis of the channel-last [B, L, D] layout (no transposes). The filter MLP is
 evaluated once per forward for all channels at once — it is tiny
 (emb_dim→order→order→d) and XLA hoists it out of the batch dimension
 entirely since it has no batch dependence.

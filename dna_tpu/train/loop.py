@@ -87,7 +87,8 @@ class TrainLoop:
         self.train_step = make_train_step(
             exp.model, exp.task_fn, exp.tx, self.mesh, exp.rules,
             self.shardings, ema=exp.cfg.train.ema,
-            deterministic=deterministic)
+            deterministic=deterministic,
+            mlm_gather=getattr(exp.cfg.model, "mlm_gather", 0.0))
         self.eval_step = make_eval_step(exp.model, exp.task_fn, self.mesh,
                                         exp.rules, self.shardings)
         self.predict_step = make_predict_step(exp.model, self.mesh, exp.rules,

@@ -23,17 +23,35 @@ from dna_tpu.train.state import TrainState
 Batch = Dict[str, jax.Array]
 
 
-def make_forward_fn(model: nn.Module, task_fn) -> Callable:
+def gather_mlm_positions(labels: jax.Array, budget: int):
+    """Per-row indices of masked positions, padded to `budget`; gathered
+    labels are -100 past each row's true count (jit-safe static shapes)."""
+    import jax.numpy as jnp
+
+    mask = labels != -100
+
+    def per_row(m, lab):
+        (idx,) = jnp.nonzero(m, size=budget, fill_value=0)
+        valid = jnp.arange(budget) < m.sum()
+        return idx, jnp.where(valid, lab[idx], -100)
+
+    return jax.vmap(per_row)(mask, labels)
+
+
+def make_forward_fn(model: nn.Module, task_fn,
+                    mlm_gather: float = 0.0) -> Callable:
     """loss_fn(params, batch, rng, deterministic) -> (loss, metrics)."""
 
     def forward(params, batch: Batch, rng, deterministic: bool):
-        kwargs = {}
-        if "mask" in batch and "attention_mask" not in batch:
-            # MLM batches carry the *masked-position* mask; attention over
-            # padded tokens is governed by pad ids — here synthetic/packed
-            # batches have no padding so attention_mask=None.
-            pass
         attention_mask = batch.get("attention_mask")
+        kwargs = {}
+        labels = batch.get("labels")
+        if (mlm_gather > 0.0 and labels is not None and labels.ndim == 2):
+            budget = max(int(labels.shape[1] * mlm_gather), 8)
+            positions, glabels = gather_mlm_positions(labels, budget)
+            kwargs["positions"] = positions
+            batch = dict(batch)
+            batch["labels"] = glabels
         logits = model.apply(
             {"params": params}, batch["input_ids"], attention_mask,
             deterministic=deterministic,
@@ -54,8 +72,9 @@ def make_train_step(
     *,
     ema: float = 0.0,
     deterministic: Optional[bool] = None,
+    mlm_gather: float = 0.0,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jax.Array]]]:
-    forward = make_forward_fn(model, task_fn)
+    forward = make_forward_fn(model, task_fn, mlm_gather)
     det = bool(deterministic) if deterministic is not None else True
 
     def train_step(state: TrainState, batch: Batch):

@@ -22,7 +22,8 @@ dummy = jnp.zeros((2, seq), jnp.int32)
 def init_params(rng):
     return exp.model.init(rng, dummy, None, deterministic=True)["params"]
 state, sh = create_train_state(init_params, exp.tx, mesh, exp.rules, jax.random.key(0))
-step = make_train_step(exp.model, exp.task_fn, exp.tx, mesh, exp.rules, sh)
+step = make_train_step(exp.model, exp.task_fn, exp.tx, mesh, exp.rules, sh,
+                       mlm_gather=exp.cfg.model.mlm_gather)
 loader = ShardedLoader(exp.dataset, batch, seed=0)
 batches = [b for _, b in zip(range(2), loader)]
 for i in range(3):

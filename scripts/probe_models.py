@@ -21,7 +21,8 @@ B, L = cfg.data.batch_size, cfg.data.max_length
 dummy = jnp.zeros((2, L), jnp.int32)
 init = lambda r: exp.model.init(r, dummy, None, deterministic=True)["params"]
 state, sh = create_train_state(init, exp.tx, mesh, exp.rules, jax.random.key(0))
-step = make_train_step(exp.model, exp.task_fn, exp.tx, mesh, exp.rules, sh)
+step = make_train_step(exp.model, exp.task_fn, exp.tx, mesh, exp.rules, sh,
+                       mlm_gather=exp.cfg.model.mlm_gather)
 print(f"# {name}: params {param_count(state.params)/1e6:.1f}M, B={B} L={L}")
 loader = ShardedLoader(exp.dataset, B, seed=0)
 batches = [b for _, b in zip(range(2), loader)]

@@ -91,3 +91,30 @@ def test_param_count_dnabert2_117m():
     import flax.linen as nn
     n = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(nn.meta.unbox(params)))
     assert 100e6 < n < 135e6, n
+
+
+def test_mlm_gather_matches_full_loss():
+    """Masked-position-gathered MLM loss must equal the full-logits loss."""
+    import jax
+    import jax.numpy as jnp
+    from dna_tpu.config.core import ModelConfig
+    from dna_tpu.models.bert import BertForMLM
+    from dna_tpu.train.step import gather_mlm_positions
+    from dna_tpu.train.tasks import mlm_loss
+
+    cfg = ModelConfig(vocab_size=32, d_model=32, n_layers=1, n_heads=2,
+                      d_ff=64, use_flash=False, dtype="float32")
+    model = BertForMLM(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(7, 12, (4, 32)), jnp.int32)
+    labels = jnp.asarray(np.where(rng.random((4, 32)) < 0.2,
+                                  np.asarray(ids), -100), jnp.int32)
+    params = model.init(jax.random.key(0), ids, None, deterministic=True)
+
+    full_logits = model.apply(params, ids, None, deterministic=True)
+    loss_full, _ = mlm_loss(full_logits, {"labels": labels})
+
+    positions, glabels = gather_mlm_positions(labels, budget=16)
+    g_logits = model.apply(params, ids, None, positions, deterministic=True)
+    loss_g, _ = mlm_loss(g_logits, {"labels": glabels})
+    np.testing.assert_allclose(float(loss_g), float(loss_full), rtol=1e-5)
