@@ -60,12 +60,17 @@ class MetricsLogger:
 
 class TrainLoop:
     def __init__(self, exp: Experiment, *, eval_dataset=None,
+                 eval_datasets: Optional[Dict[str, Any]] = None,
                  monitor: Optional[str] = None, monitor_mode: str = "max",
                  log_dir: Optional[str] = None, host_metrics: tuple = (),
                  verbose: bool = True):
         self.exp = exp
         self.cfg: ExperimentConfig = exp.cfg
         self.eval_dataset = eval_dataset
+        # named eval loaders evaluated each eval tick (reference val-loader
+        # multiplexing, `train.py:558-582`); "/ema" duplicates are implicit —
+        # eval_step already uses EMA params when train.ema > 0
+        self.eval_datasets = dict(eval_datasets or {})
         self.monitor = monitor
         self.monitor_mode = monitor_mode
         self.host_metrics = tuple(host_metrics)
@@ -181,6 +186,11 @@ class TrainLoop:
 
             if cfg.train.eval_every and (step_i + 1) % cfg.train.eval_every == 0:
                 ev = self.evaluate(max_batches=cfg.train.eval_steps)
+                for split, ds in self.eval_datasets.items():
+                    sub = self.evaluate(dataset=ds,
+                                        max_batches=cfg.train.eval_steps)
+                    ev.update({k.replace("val/", f"{split}/"): v
+                               for k, v in sub.items()})
                 ev["step"] = step_i + 1
                 self.logger.log(ev)
                 self._log(f"eval @ {step_i+1}: " + ", ".join(

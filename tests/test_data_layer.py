@@ -189,3 +189,39 @@ def test_deepstarr_format(tmp_path):
     ex = ds[2]
     assert ex["input_ids"].shape == (249,)
     assert ex["labels"].shape == (2,)
+
+
+def test_kmer_tokenizer_artifact():
+    """NTv2 6-mer tokenizer loads the exact in-repo artifact (vocab 4107)."""
+    import os
+    import pytest
+    from dna_tpu.data.tokenizers import KmerTokenizer
+
+    path = "/root/reference/nucleotide-transformer-v2-500m-multi-species"
+    if not os.path.exists(path):
+        pytest.skip("reference tokenizer artifact not available")
+    tok = KmerTokenizer(path)
+    assert tok.vocab_size == 4107
+    ids = tok.encode("ACGTACACGTAC", add_special_tokens=True)
+    assert ids[0] == tok.cls_token_id
+    assert len(ids) == 3  # cls + two 6-mers
+    # non-ACGT chunk falls back to per-base tokens
+    ids2 = tok.encode("ACGTAN", add_special_tokens=False)
+    assert len(ids2) > 1
+
+
+def test_bpe_tokenizer_artifact():
+    import os
+    import pytest
+    from dna_tpu.data.tokenizers import BPETokenizer
+
+    path = "/root/reference/DNABERT-2-117M"
+    if not os.path.exists(path):
+        pytest.skip("reference tokenizer artifact not available")
+    tok = BPETokenizer(path)
+    assert tok.vocab_size == 4096
+    ids = tok.encode("ACGTACGTACGT")
+    assert ids.dtype == np.int32 and len(ids) > 0
+    pad = tok.pad(ids, 16)
+    assert pad.shape == (16,)
+    assert pad[0] == tok.pad_token_id  # left padding

@@ -131,3 +131,26 @@ def test_seqlen_warmup_stages(tmp_path):
     res = loop.run_stages()
     assert int(loop.state.step) == 8  # 4 + 4 across both stages
     assert np.isfinite(res.final_metrics["loss"])
+
+
+def test_named_eval_loaders(tmp_path):
+    """Multiplexed named eval datasets report under their own prefixes."""
+    from dna_tpu.data.synthetic import SyntheticMLMDataset
+    from dna_tpu.train.loop import TrainLoop
+
+    cfg = get_experiment("dnabert2_pretrain_tiny", [
+        "data.batch_size=16", "train.steps=4", "train.eval_every=2",
+        "train.eval_steps=2", "train.log_every=0",
+    ])
+    mesh = build_mesh(MeshConfig(dp=2))
+    exp = build(cfg, mesh=mesh)
+    val = SyntheticMLMDataset(exp.tokenizer, max_length=cfg.data.max_length,
+                              num_samples=64, seed=77)
+    test = SyntheticMLMDataset(exp.tokenizer, max_length=cfg.data.max_length,
+                               num_samples=64, seed=88)
+    loop = TrainLoop(exp, eval_dataset=val, eval_datasets={"test": test},
+                     verbose=False)
+    res = loop.run()
+    evals = [h for h in res.history if any(k.startswith("test/") for k in h)]
+    assert evals, res.history
+    assert "val/loss" in evals[-1] and "test/loss" in evals[-1]
