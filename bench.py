@@ -21,6 +21,11 @@ REF_TOKENS_PER_SEC_PER_GPU = 66_000.0
 
 
 def main():
+    if os.environ.get("DNA_TPU_COMPILE_CACHE"):
+        # opt-in persistent compile cache (experimental on the axon backend)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["DNA_TPU_COMPILE_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from dna_tpu.config.core import MeshConfig
     from dna_tpu.data.loader import ShardedLoader
     from dna_tpu.experiments import build, get_experiment

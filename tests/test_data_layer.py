@@ -225,3 +225,40 @@ def test_bpe_tokenizer_artifact():
     pad = tok.pad(ids, 16)
     assert pad.shape == (16,)
     assert pad[0] == tok.pad_token_id  # left padding
+
+
+def test_loader_multihost_partition():
+    """Across H hosts, every global batch is partitioned exactly (disjoint,
+    complete) — the fault-tolerant-sampler guarantee, host-count free."""
+    from dna_tpu.data.loader import ShardedLoader
+    from dna_tpu.data.synthetic import SyntheticLMDataset
+
+    ds = SyntheticLMDataset(max_length=8, num_samples=64)
+    global_batch, hosts = 16, 4
+    per_host_rows = []
+    for h in range(hosts):
+        loader = ShardedLoader(ds, global_batch, host_id=h, host_count=hosts,
+                               seed=3)
+        batch = next(iter(loader))
+        per_host_rows.append(batch["input_ids"])
+    stacked = np.concatenate(per_host_rows)
+    assert stacked.shape[0] == global_batch
+    # compare against the single-host view of the same step
+    full = next(iter(ShardedLoader(ds, global_batch, seed=3)))["input_ids"]
+    np.testing.assert_array_equal(np.sort(stacked, axis=0),
+                                  np.sort(full, axis=0))
+
+
+def test_loader_resume_continues_stream():
+    from dna_tpu.data.loader import LoaderState, ShardedLoader
+    from dna_tpu.data.synthetic import SyntheticLMDataset
+
+    ds = SyntheticLMDataset(max_length=8, num_samples=64)
+    loader = ShardedLoader(ds, 8, seed=5)
+    it = iter(loader)
+    batches = [next(it) for _ in range(3)]
+    state_after_2 = LoaderState(epoch=0, step=2)
+
+    resumed = ShardedLoader(ds, 8, seed=5, state=state_after_2)
+    b = next(iter(resumed))
+    np.testing.assert_array_equal(b["input_ids"], batches[2]["input_ids"])

@@ -85,3 +85,15 @@ def test_bf16_forward_close():
     ref = attention_ref(q, k, v, alibi_bias(q.shape[2], q.shape[1]))
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_alibi_slopes_known_values():
+    """Slopes match the published ALiBi geometric sequence (8 heads:
+    1/2^1 .. 1/2^8)."""
+    from dna_tpu.ops.attention_ref import alibi_slopes
+
+    s8 = np.asarray(alibi_slopes(8))
+    np.testing.assert_allclose(s8, [2.0 ** -(i + 1) for i in range(8)],
+                               rtol=1e-6)
+    s12 = np.asarray(alibi_slopes(12))  # non-power-of-2 workaround
+    assert len(s12) == 12 and (np.diff(s8) < 0).all()
