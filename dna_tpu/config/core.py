@@ -162,6 +162,8 @@ class ModelConfig:
     bidirectional: bool = True
     bidirectional_strategy: str = "add"  # add | ew_multiply
     rcps: bool = False
+    # denoise CNN family (reference `denoise.py:273-406` modes)
+    cnn_mode: str = "dilation"  # dilation | pure_gate | up_down | convnext
     # classification / regression heads
     n_classes: int = 2
     pool: str = "mean"  # mean | last | first | sum
@@ -206,6 +208,24 @@ class TrainConfig:
     ema: float = 0.0
     # Staged sequence-length warmup: tuple of (seq_len, batch_size, steps).
     seqlen_stages: Tuple[Tuple[int, int, int], ...] = ()
+    # Progressive resizing (reference ProgressiveResizing callback,
+    # `src/callbacks/progressive_resizing.py`): stages of
+    # (resolution, steps) — sequences subsampled x[:, ::resolution].
+    resolution_stages: Tuple[Tuple[int, int], ...] = ()
+    # Per-parameter gradient-norm logging (reference TrackNorms callback,
+    # `src/callbacks/norms.py:6-39`); adds one metric per param leaf.
+    track_param_norms: bool = False
+    # Fast-dev/debug mode (reference `config.debug` → PL fast_dev_run +
+    # validate_at_start, `src/utils/train.py:79-91`, `train.py:685-687`):
+    # caps the run at `debug_steps`, runs an eval pass before training, and
+    # asserts the loss stays finite every step (NaN-assert parity,
+    # `long_conv_lm.py:537-541`).
+    debug: bool = False
+    debug_steps: int = 2
+    validate_at_start: bool = False
+    # wandb sink behind the JSONL logger (reference CustomWandbLogger,
+    # `train.py:52-132`); no-op when wandb isn't installed.
+    wandb_project: Optional[str] = None
 
 
 @dataclass(frozen=True)

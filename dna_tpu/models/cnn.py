@@ -77,7 +77,7 @@ class DenoiseCNN(nn.Module):
     kernel_size: int = 9
     dilation: int = 3
     alphabet_size: int = 5
-    mode: str = "dilation"  # dilation | pure_gate
+    mode: str = "dilation"  # dilation | pure_gate | up_down | convnext
     use_comp: bool = True
     forget: bool = True
     use_mlp: bool = True
@@ -93,10 +93,92 @@ class DenoiseCNN(nn.Module):
         return [d for d in base[: self.num_conv1d]
                 for _ in range(self.num_stacks)]
 
+    def _updown_widths(self) -> Sequence[int]:
+        """Channel schedule of the U-Net encoder (`denoise.py:287-291`):
+        H → H/1.8 → H/1.4 → H/1.2 → H → H, truncated to num_conv1d stages."""
+        H = self.hidden_dim
+        return [int(H / 1.8), int(H / 1.4), int(H / 1.2), H, H][: self.num_conv1d]
+
+    def _up_down(self, feat, rc_feat, drop, deterministic):
+        """U-Net mode (`denoise.py:286-312` layers, `:588-622` forward):
+        strided down-convs with RC sigmoid gates (no residual — resolution
+        changes every stage), then stride-2 transpose convs whose outputs are
+        gated and added to the saved same-resolution encoder skip."""
+        down_widths = self._updown_widths()
+        skips, rc_skips = [], []
+        for i, w in enumerate(down_widths):
+            h = drop(feat, deterministic=deterministic)
+            rc_h = drop(rc_feat, deterministic=deterministic)
+            skips.append(h)
+            rc_skips.append(rc_h)
+            h = layer_norm(name=f"down_norm_{i}")(h).astype(self.dtype)
+            rc_h = layer_norm(name=f"rc_down_norm_{i}")(rc_h).astype(self.dtype)
+            g_pre = conv1d_same(w, self.kernel_size, stride=2,
+                                name=f"down_gate_{i}", dtype=self.dtype)(rc_h)
+            g = jax.nn.sigmoid(g_pre) if self.forget else nn.gelu(g_pre)
+            h = nn.gelu(conv1d_same(w, self.kernel_size, stride=2,
+                                    name=f"down_conv_{i}", dtype=self.dtype)(h))
+            feat = h * g if self.forget else h + g
+            rc_feat = g
+        # decoder: widths retrace the encoder inputs in reverse
+        up_widths = [skips[-i - 1].shape[-1] for i in range(len(down_widths))]
+        for i, w in enumerate(up_widths):
+            h = drop(feat, deterministic=deterministic)
+            rc_h = drop(rc_feat, deterministic=deterministic)
+            h = layer_norm(name=f"up_norm_{i}")(h).astype(self.dtype)
+            rc_h = layer_norm(name=f"rc_up_norm_{i}")(rc_h).astype(self.dtype)
+            g_pre = nn.ConvTranspose(
+                w, (self.kernel_size,), strides=(2,), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"up_gate_{i}")(rc_h)
+            g = jax.nn.sigmoid(g_pre) if self.forget else nn.gelu(g_pre)
+            h = nn.gelu(nn.ConvTranspose(
+                w, (self.kernel_size,), strides=(2,), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"up_conv_{i}")(h))
+            skip, rc_skip = skips[-i - 1], rc_skips[-i - 1]
+            feat = h * g + skip if self.forget else h + g
+            rc_feat = g + rc_skip
+        return feat, rc_feat
+
+    def _gated_convnext(self, feat, rc_feat, deterministic):
+        """RC-gated ConvNeXt mode (`denoise.py:412-421`, `:623-645`): per
+        stage, a k=2 downsample conv + LN on both strands, ConvNeXt blocks on
+        each, then the RC branch's sigmoid output gates the forward branch
+        with a residual. Final linear back to hidden_dim (`denoise.py:386`)."""
+        dims = (64, 72, 108, 132)
+        depths = (1, 1, 4, 2)
+        for si, (dim, depth) in enumerate(zip(dims, depths)):
+            feat = conv1d_same(dim, 2, name=f"cx_down_{si}",
+                               dtype=self.dtype)(feat)
+            feat = layer_norm(eps=1e-6, name=f"cx_down_ln_{si}")(
+                feat).astype(self.dtype)
+            rc_feat = conv1d_same(dim, 2, name=f"cx_rc_down_{si}",
+                                  dtype=self.dtype)(rc_feat)
+            rc_feat = layer_norm(eps=1e-6, name=f"cx_rc_down_ln_{si}")(
+                rc_feat).astype(self.dtype)
+            h, rc_h = feat, rc_feat
+            for bi in range(depth):
+                h = ConvNeXtBlock1D(dim, dtype=self.dtype,
+                                    name=f"cx_block_{si}_{bi}")(h)
+                rc_h = ConvNeXtBlock1D(dim, dtype=self.dtype,
+                                       name=f"cx_rc_block_{si}_{bi}")(rc_h)
+            h = nn.gelu(h)
+            g = jax.nn.sigmoid(rc_h) if self.forget else nn.gelu(rc_h)
+            feat = h * g + feat if self.forget else h + g + feat
+            rc_feat = g + rc_feat
+        feat = dense(self.hidden_dim, ("embed", "conv_ch"), dtype=self.dtype,
+                     name="cx_ll")(feat)
+        rc_feat = dense(self.hidden_dim, ("embed", "conv_ch"),
+                        dtype=self.dtype, name="cx_rc_ll")(rc_feat)
+        return feat, rc_feat
+
     @nn.compact
     def __call__(self, seq: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
+        if self.mode not in ("dilation", "pure_gate", "up_down", "convnext"):
+            raise ValueError(f"unknown mode {self.mode!r}")
         H = self.hidden_dim
         drop = nn.Dropout(self.dropout)
 
@@ -110,7 +192,13 @@ class DenoiseCNN(nn.Module):
             rc_feat = nn.gelu(dense(H, ("embed", "conv_ch"), dtype=self.dtype,
                                     name="rc_in_linear")(rc_x))
 
-        for i, dil in enumerate(self._dilations()):
+        if self.mode == "up_down":
+            feat, rc_feat = self._up_down(feat, rc_feat, drop, deterministic)
+        elif self.mode == "convnext":
+            feat, rc_feat = self._gated_convnext(feat, rc_feat, deterministic)
+        for i, dil in enumerate(
+                self._dilations() if self.mode in ("dilation", "pure_gate")
+                else ()):
             if self.mode == "dilation":
                 h = drop(feat, deterministic=deterministic)
                 rc_h = drop(rc_feat, deterministic=deterministic)
@@ -278,7 +366,7 @@ class DeepSTARRCNN(nn.Module):
 @registry.model.register("denoise_cnn")
 def _denoise_cnn(cfg: ModelConfig):
     return DenoiseCNN(hidden_dim=cfg.d_model, dropout=cfg.dropout,
-                      n_out=cfg.n_classes, head="cls",
+                      n_out=cfg.n_classes, head="cls", mode=cfg.cnn_mode,
                       dtype=jnp.dtype(cfg.dtype))
 
 
@@ -286,7 +374,7 @@ def _denoise_cnn(cfg: ModelConfig):
 def _denoise_cnn_reg(cfg: ModelConfig):
     return DenoiseCNN(hidden_dim=cfg.d_model, dropout=cfg.dropout,
                       n_out=cfg.n_classes, head="regression",
-                      dtype=jnp.dtype(cfg.dtype))
+                      mode=cfg.cnn_mode, dtype=jnp.dtype(cfg.dtype))
 
 
 @registry.model.register("convnext")

@@ -29,6 +29,7 @@ from dna_tpu.config.core import ModelConfig
 from dna_tpu.models.layers import (SequencePool, TokenEmbed, _remat_policy,
                                     dense, layer_norm)
 from dna_tpu.ops.attention import multihead_attention
+from dna_tpu.ops.attention_ref import attention_ref, padding_bias
 
 
 def rotate_half(x: jax.Array) -> jax.Array:
@@ -79,7 +80,8 @@ class EsmSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, attention_mask: Optional[jax.Array],
-                 *, deterministic: bool = True) -> jax.Array:
+                 *, deterministic: bool = True,
+                 output_attentions: bool = False):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         H = cfg.n_heads
@@ -91,12 +93,24 @@ class EsmSelfAttention(nn.Module):
         q, k, v = (t.reshape(shape) for t in (q, k, v))
         if cfg.rotary:
             q, k = LearnedRotary(D, H, name="rotary")(q, k)
-        out = multihead_attention(
-            q, k, v, attention_mask=attention_mask, alibi=False, causal=False,
-            impl="auto" if cfg.use_flash else "ref")
+        probs = None
+        if output_attentions:
+            # Contact prediction needs the softmax maps — only the XLA
+            # reference path can surface them (the flash kernel never
+            # materializes S×S probabilities).
+            bias = (padding_bias(attention_mask)
+                    if attention_mask is not None else None)
+            out, probs = attention_ref(q, k, v, bias, return_probs=True)
+        else:
+            out = multihead_attention(
+                q, k, v, attention_mask=attention_mask, alibi=False,
+                causal=False, impl="auto" if cfg.use_flash else "ref")
         out = out.reshape(x.shape[0], x.shape[1], cfg.d_model)
-        return dense(cfg.d_model, ("heads", "embed"), dtype=dtype,
-                     name="out")(out)
+        out = dense(cfg.d_model, ("heads", "embed"), dtype=dtype,
+                    name="out")(out)
+        if output_attentions:
+            return out, probs
+        return out
 
 
 class EsmLayer(nn.Module):
@@ -104,12 +118,15 @@ class EsmLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, attention_mask: Optional[jax.Array],
-                 *, deterministic: bool = True) -> jax.Array:
+                 *, deterministic: bool = True,
+                 output_attentions: bool = False):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         h = layer_norm(eps=cfg.norm_eps, name="attn_ln")(x).astype(dtype)
-        h = EsmSelfAttention(cfg, name="attention")(
-            h, attention_mask, deterministic=deterministic)
+        attn = EsmSelfAttention(cfg, name="attention")(
+            h, attention_mask, deterministic=deterministic,
+            output_attentions=output_attentions)
+        h, probs = attn if output_attentions else (attn, None)
         if cfg.dropout > 0.0:
             h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
         x = x + h
@@ -124,6 +141,8 @@ class EsmLayer(nn.Module):
                   name="wo")(h)
         if cfg.dropout > 0.0:
             h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        if output_attentions:
+            return x + h, probs
         return x + h
 
 
@@ -143,11 +162,22 @@ class EsmEncoder(nn.Module):
 
     def __call__(self, input_ids: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
-                 *, deterministic: bool = True) -> jax.Array:
+                 *, deterministic: bool = True,
+                 output_attentions: bool = False):
         x = self.embed(input_ids)
+        all_probs = []
         for layer in self.layers:
-            x = layer(x, attention_mask, deterministic=deterministic)
-        return self.final_ln(x).astype(x.dtype)
+            out = layer(x, attention_mask, deterministic=deterministic,
+                        output_attentions=output_attentions)
+            if output_attentions:
+                x, probs = out
+                all_probs.append(probs)
+            else:
+                x = out
+        x = self.final_ln(x).astype(x.dtype)
+        if output_attentions:
+            return x, jnp.stack(all_probs, axis=1)  # [B, L, H, S, S]
+        return x
 
 
 class EsmForMaskedLM(nn.Module):
@@ -210,6 +240,70 @@ class EsmForTokenClassification(nn.Module):
                                         deterministic=deterministic)
         return dense(cfg.n_classes, ("embed", "vocab"), dtype=jnp.float32,
                      name="classifier")(h.astype(jnp.float32))
+
+
+def symmetrize(x: jax.Array) -> jax.Array:
+    """Make the last two (token) dims symmetric (reference
+    `modeling_esm.py` `symmetrize`)."""
+    return x + x.swapaxes(-1, -2)
+
+
+def average_product_correct(x: jax.Array) -> jax.Array:
+    """APC: subtract rowsum·colsum/totalsum (reference `modeling_esm.py`
+    `average_product_correct`)."""
+    a1 = x.sum(-1, keepdims=True)
+    a2 = x.sum(-2, keepdims=True)
+    a12 = x.sum((-1, -2), keepdims=True)
+    return x - a1 * a2 / a12
+
+
+class EsmContactHead(nn.Module):
+    """Contact-prediction head (reference `EsmContactPredictionHead`,
+    `modeling_esm.py:236-268`): mask eos attentions, drop cls/eos rows+cols,
+    symmetrize + APC over the stacked (layer·head) attention maps, then a
+    per-pair logistic regression."""
+
+    eos_idx: int = 2
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array,
+                 attentions: jax.Array) -> jax.Array:
+        # tokens [B, S]; attentions [B, L, H, S, S] fp32
+        B, L, H, S, _ = attentions.shape
+        eos_mask = (tokens != self.eos_idx).astype(attentions.dtype)  # [B, S]
+        pair_mask = eos_mask[:, None, :] * eos_mask[:, :, None]       # [B,S,S]
+        att = attentions * pair_mask[:, None, None, :, :]
+        att = att[..., :-1, :-1][..., 1:, 1:]   # strip eos then cls
+        att = att.reshape(B, L * H, S - 2, S - 2)
+        att = average_product_correct(symmetrize(att))
+        att = att.transpose(0, 2, 3, 1)          # [B, S', S', L·H]
+        logits = dense(1, ("heads", "vocab"), dtype=jnp.float32,
+                       name="regression")(att)
+        return jax.nn.sigmoid(logits[..., 0])    # [B, S', S']
+
+
+class EsmForContactPrediction(nn.Module):
+    """Encoder + contact head. An inference/analysis model: attention maps
+    are materialized (ref path), so remat is forced off."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array,
+                 attention_mask: Optional[jax.Array] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        import dataclasses
+
+        cfg = dataclasses.replace(self.cfg, remat=False)
+        _, attn = EsmEncoder(cfg, name="esm")(
+            input_ids, attention_mask, deterministic=deterministic,
+            output_attentions=True)
+        return EsmContactHead(name="contact_head")(input_ids, attn)
+
+
+@registry.model.register("ntv2_contact")
+def _ntv2_contact(cfg: ModelConfig):
+    return EsmForContactPrediction(cfg)
 
 
 @registry.model.register("ntv2_token_cls")

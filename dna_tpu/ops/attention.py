@@ -16,6 +16,20 @@ import jax
 from dna_tpu.ops.attention_ref import alibi_bias, attention_ref, padding_bias
 
 
+def _ambient_sp_mesh():
+    """The mesh of the enclosing `with mesh:` block, if its sp axis is >1.
+
+    Models are ordinary flax modules that only see logical axis names; when
+    the train step traces them under a mesh with context parallelism active,
+    the Pallas kernel must be wrapped in shard_map (XLA replicates custom
+    calls instead of partitioning them along S). Detecting the ambient mesh
+    here keeps model code mesh-agnostic.
+    """
+    from dna_tpu.parallel.mesh import ambient_mesh
+
+    return ambient_mesh("sp")
+
+
 def multihead_attention(
     q: jax.Array,  # [B, S, H, D]
     k: jax.Array,
@@ -28,16 +42,26 @@ def multihead_attention(
     impl: str = "auto",  # auto | flash | ref
 ) -> jax.Array:
     B, S, H, D = q.shape
+    sp_mesh = _ambient_sp_mesh()
     if impl == "auto":
         # Flash pays off once the S×S score materialization dominates; at
         # short S (DNABERT-2's 128-token batches) XLA's fused batched-matmul
         # attention is faster than the kernel's per-(b,h) grid overhead
         # (measured on v5e: 124k vs 99k tok/s at S=128, batch 256).
         impl = "flash" if (D % 128 == 0 or D in (64,)) and S >= 512 else "ref"
+        if sp_mesh is not None and impl == "flash":
+            # local q tiles must still be 128-aligned under sp sharding
+            if (S // sp_mesh.shape["sp"]) % 128 != 0:
+                impl = "ref"
     if impl == "flash":
         try:
-            from dna_tpu.ops.flash_attention import flash_attention
+            from dna_tpu.ops.flash_attention import (
+                context_parallel_flash_attention, flash_attention)
 
+            if sp_mesh is not None:
+                return context_parallel_flash_attention(
+                    q, k, v, sp_mesh, attention_mask=attention_mask,
+                    alibi=alibi, causal=causal, softmax_scale=softmax_scale)
             return flash_attention(
                 q, k, v, attention_mask=attention_mask, alibi=alibi,
                 causal=causal, softmax_scale=softmax_scale)

@@ -25,7 +25,8 @@ def attention_ref(
     *,
     causal: bool = False,
     softmax_scale: Optional[float] = None,
-) -> jax.Array:
+    return_probs: bool = False,
+):
     orig_dtype = q.dtype
     d = q.shape[-1]
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
@@ -41,7 +42,10 @@ def attention_ref(
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhst,bthd->bshd", probs.astype(orig_dtype), v,
                      preferred_element_type=jnp.float32)
-    return out.astype(orig_dtype)
+    out = out.astype(orig_dtype)
+    if return_probs:
+        return out, probs  # probs [B, H, S, S] fp32
+    return out
 
 
 def alibi_slopes(n_heads: int) -> jnp.ndarray:

@@ -42,9 +42,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _bias_tile(slope, qi, kj, bq, bk, causal, alibi, mask_tile):
-    """fp32 additive bias for the (qi, kj) tile: ALiBi + pad mask + causal."""
-    rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+def _bias_tile(slope, qi, kj, bq, bk, causal, alibi, mask_tile, q_off=0):
+    """fp32 additive bias for the (qi, kj) tile: ALiBi + pad mask + causal.
+    `q_off` shifts q rows to *global* positions when q is a context-parallel
+    shard of the sequence (k/v are always globally indexed)."""
+    rows = q_off + qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     cols = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     bias = jnp.zeros((bq, bk), jnp.float32)
     if alibi:
@@ -56,19 +58,20 @@ def _bias_tile(slope, qi, kj, bq, bk, causal, alibi, mask_tile):
     return bias
 
 
-def _fwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
-                block_k: int, causal: bool, alibi: bool, scale: float,
-                seq_len: int):
+def _fwd_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
+                lse_ref, *, block_k: int, causal: bool, alibi: bool,
+                scale: float, seq_len: int):
     bq = q_ref.shape[-2]
     d = q_ref.shape[-1]
     qi = pl.program_id(2)
     slope = slope_ref[pl.program_id(1)]
+    q_off = qoff_ref[0]
 
     q = q_ref[0, 0]  # [Bq, D]
     nk = seq_len // block_k
     if causal:
-        # only iterate up to the diagonal block
-        nk_run = jnp.minimum(nk, (qi + 1) * bq // block_k + 1)
+        # only iterate up to the diagonal block (global q row index)
+        nk_run = jnp.minimum(nk, (q_off + (qi + 1) * bq) // block_k + 1)
     else:
         nk_run = nk
 
@@ -82,7 +85,8 @@ def _fwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
         mask_tile = None
         if mask_ref is not None:
             mask_tile = mask_ref[0, pl.ds(j * block_k, block_k)]
-        s = s + _bias_tile(slope, qi, j, bq, block_k, causal, alibi, mask_tile)
+        s = s + _bias_tile(slope, qi, j, bq, block_k, causal, alibi, mask_tile,
+                           q_off)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -102,19 +106,21 @@ def _fwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
     lse_ref[0, 0] = m + jnp.log(l_safe)  # [Bq, 1]
 
 
-def _bwd_dq_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, *, block_k: int, causal: bool,
+def _bwd_dq_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                   lse_ref, delta_ref, dq_ref, *, block_k: int, causal: bool,
                    alibi: bool, scale: float, seq_len: int):
     bq = q_ref.shape[-2]
     qi = pl.program_id(2)
     slope = slope_ref[pl.program_id(1)]
+    q_off = qoff_ref[0]
     q = q_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)
     lse = lse_ref[0, 0]      # [Bq, 1]
     delta = delta_ref[0, 0]  # [Bq, 1]
 
     nk = seq_len // block_k
-    nk_run = jnp.minimum(nk, (qi + 1) * bq // block_k + 1) if causal else nk
+    nk_run = (jnp.minimum(nk, (q_off + (qi + 1) * bq) // block_k + 1)
+              if causal else nk)
 
     def body(j, dq):
         kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
@@ -124,7 +130,8 @@ def _bwd_dq_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         mask_tile = None
         if mask_ref is not None:
             mask_tile = mask_ref[0, pl.ds(j * block_k, block_k)]
-        s = s + _bias_tile(slope, qi, j, bq, block_k, causal, alibi, mask_tile)
+        s = s + _bias_tile(slope, qi, j, bq, block_k, causal, alibi, mask_tile,
+                           q_off)
         p = jnp.exp(s - lse)  # [Bq, Bk]
         dp = jax.lax.dot_general(do, vb.astype(jnp.float32),
                                  (((1,), (1,)), ((), ())),
@@ -139,20 +146,23 @@ def _bwd_dq_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
     dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
-                    delta_ref, dk_ref, dv_ref, *, block_q: int, causal: bool,
-                    alibi: bool, scale: float, seq_len: int):
+def _bwd_dkv_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref,
+                    do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *,
+                    block_q: int, causal: bool, alibi: bool, scale: float,
+                    q_len: int):
     bk = k_ref.shape[-2]
     d = k_ref.shape[-1]
     kj = pl.program_id(2)
     slope = slope_ref[pl.program_id(1)]
+    q_off = qoff_ref[0]
     kb = k_ref[0, 0]  # [Bk, D]
     vb = v_ref[0, 0]
     mask_tile = mask_ref[0, :] if mask_ref is not None else None
 
-    nq = seq_len // block_q
-    # causal: q blocks strictly before this k block contribute nothing
-    q_start = (kj * bk) // block_q if causal else 0
+    nq = q_len // block_q
+    # causal: q blocks whose global rows end before this k block start
+    # contribute nothing
+    q_start = (jnp.maximum(kj * bk - q_off, 0) // block_q) if causal else 0
 
     def body(i, carry):
         dk, dv = carry
@@ -162,7 +172,8 @@ def _bwd_dkv_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
         s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = s + _bias_tile(slope, i, kj, block_q, bk, causal, alibi, mask_tile)
+        s = s + _bias_tile(slope, i, kj, block_q, bk, causal, alibi, mask_tile,
+                           q_off)
         p = jnp.exp(s - lse)  # [Bq, Bk]
         dv = dv + jax.lax.dot_general(p, dob, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -182,33 +193,34 @@ def _bwd_dkv_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _choose_blocks(seq_len: int):
-    bq = min(DEFAULT_BLOCK_Q, seq_len)
-    bk = min(DEFAULT_BLOCK_K, seq_len)
+def _choose_blocks(q_len: int, kv_len: int):
+    bq = min(DEFAULT_BLOCK_Q, q_len)
+    bk = min(DEFAULT_BLOCK_K, kv_len)
     return bq, bk
 
 
-def _fwd_impl(q, k, v, mask, slopes, *, causal, alibi, scale):
-    B, H, S, D = q.shape
-    bq, bk = _choose_blocks(S)
-    grid = (B, H, S // bq)
+def _fwd_impl(q, k, v, mask, slopes, q_offset, *, causal, alibi, scale):
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    bq, bk = _choose_blocks(Sq, Sk)
+    grid = (B, H, Sq // bq)
     qspec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
-    kvspec = pl.BlockSpec((1, 1, S, D), lambda b, h, i, *_: (b, h, 0, 0))
+    kvspec = pl.BlockSpec((1, 1, Sk, D), lambda b, h, i, *_: (b, h, 0, 0))
     in_specs = [qspec, kvspec, kvspec]
     inputs = [q, k, v]
     if mask is not None:
-        in_specs.append(pl.BlockSpec((1, S), lambda b, h, i, *_: (b, 0)))
+        in_specs.append(pl.BlockSpec((1, Sk), lambda b, h, i, *_: (b, 0)))
         inputs.append(mask)
     kernel = functools.partial(
         _fwd_kernel, block_k=bk, causal=causal, alibi=alibi, scale=scale,
-        seq_len=S)
+        seq_len=Sk)
     if mask is None:
-        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+        kernel = functools.partial(_mask_none_wrapper, kernel, 5)
     # lse kept as [B, H, S, 1]: the trailing unit dim satisfies mosaic's
     # block-shape constraint without jax's 128-lane broadcast workaround.
     out_shape = (
-        jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-        jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32),
     )
     out_specs = (
         pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
@@ -217,13 +229,13 @@ def _fwd_impl(q, k, v, mask, slopes, *, causal, alibi, scale):
     o, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            num_scalar_prefetch=2, grid=grid, in_specs=in_specs,
             out_specs=out_specs),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(slopes, *inputs)
+    )(slopes, q_offset, *inputs)
     return o, lse
 
 
@@ -234,102 +246,163 @@ def _mask_none_wrapper(kernel, mask_pos, *refs, **kw):
     return kernel(*refs, **kw)
 
 
-def _bwd_impl(q, k, v, mask, slopes, o, lse, do, *, causal, alibi, scale):
-    B, H, S, D = q.shape
-    bq, bk = _choose_blocks(S)
+def _bwd_impl(q, k, v, mask, slopes, q_offset, o, lse, do, *, causal, alibi,
+              scale):
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    bq, bk = _choose_blocks(Sq, Sk)
     delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
-                    keepdims=True)  # [B, H, S, 1]
+                    keepdims=True)  # [B, H, Sq, 1]
 
-    full = pl.BlockSpec((1, 1, S, D), lambda b, h, i, *_: (b, h, 0, 0))
-    vec_full = pl.BlockSpec((1, 1, S, 1), lambda b, h, i, *_: (b, h, 0, 0))
+    kv_full = pl.BlockSpec((1, 1, Sk, D), lambda b, h, i, *_: (b, h, 0, 0))
+    q_full = pl.BlockSpec((1, 1, Sq, D), lambda b, h, i, *_: (b, h, 0, 0))
+    vec_full = pl.BlockSpec((1, 1, Sq, 1), lambda b, h, i, *_: (b, h, 0, 0))
     qtile = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
     vtile = pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, *_: (b, h, i, 0))
     ktile = pl.BlockSpec((1, 1, bk, D), lambda b, h, j, *_: (b, h, j, 0))
-    mask_spec = pl.BlockSpec((1, S), lambda b, h, i, *_: (b, 0))
+    mask_spec = pl.BlockSpec((1, Sk), lambda b, h, i, *_: (b, 0))
 
     # dq: tile q, stream K/V
-    in_specs = [qtile, full, full]
+    in_specs = [qtile, kv_full, kv_full]
     inputs = [q, k, v]
     if mask is not None:
         in_specs.append(mask_spec)
         inputs.append(mask)
     in_specs += [qtile, vtile, vtile]
     kernel = functools.partial(_bwd_dq_kernel, block_k=bk, causal=causal,
-                               alibi=alibi, scale=scale, seq_len=S)
+                               alibi=alibi, scale=scale, seq_len=Sk)
     if mask is None:
-        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+        kernel = functools.partial(_mask_none_wrapper, kernel, 5)
     dq = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(B, H, S // bq),
+            num_scalar_prefetch=2, grid=(B, H, Sq // bq),
             in_specs=in_specs, out_specs=qtile),
-        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(slopes, *inputs, do, lse, delta)
+    )(slopes, q_offset, *inputs, do, lse, delta)
 
     # dk/dv: tile K/V, stream q
-    in_specs = [full, ktile, ktile]
+    in_specs = [q_full, ktile, ktile]
     inputs = [q, k, v]
     if mask is not None:
         in_specs.append(pl.BlockSpec((1, bk), lambda b, h, j, *_: (b, j)))
         inputs.append(mask)
-    in_specs += [full, vec_full, vec_full]
+    in_specs += [q_full, vec_full, vec_full]
     kernel = functools.partial(_bwd_dkv_kernel, block_q=bq, causal=causal,
-                               alibi=alibi, scale=scale, seq_len=S)
+                               alibi=alibi, scale=scale, q_len=Sq)
     if mask is None:
-        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+        kernel = functools.partial(_mask_none_wrapper, kernel, 5)
     dk, dv = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(B, H, S // bk),
+            num_scalar_prefetch=2, grid=(B, H, Sk // bk),
             in_specs=in_specs, out_specs=(ktile, ktile)),
-        out_shape=(jax.ShapeDtypeStruct((B, H, S, D), k.dtype),
-                   jax.ShapeDtypeStruct((B, H, S, D), v.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Sk, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, H, Sk, D), v.dtype)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(slopes, *inputs, do, lse, delta)
+    )(slopes, q_offset, *inputs, do, lse, delta)
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash(q, k, v, mask, slopes, causal, alibi, scale):
-    o, _ = _fwd_impl(q, k, v, mask, slopes, causal=causal, alibi=alibi,
-                     scale=scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _flash(q, k, v, mask, slopes, q_offset, causal, alibi, scale):
+    o, _ = _fwd_impl(q, k, v, mask, slopes, q_offset, causal=causal,
+                     alibi=alibi, scale=scale)
     return o
 
 
-def _flash_fwd(q, k, v, mask, slopes, causal, alibi, scale):
-    o, lse = _fwd_impl(q, k, v, mask, slopes, causal=causal, alibi=alibi,
-                       scale=scale)
-    return o, (q, k, v, mask, slopes, o, lse)
+def _flash_fwd(q, k, v, mask, slopes, q_offset, causal, alibi, scale):
+    o, lse = _fwd_impl(q, k, v, mask, slopes, q_offset, causal=causal,
+                       alibi=alibi, scale=scale)
+    return o, (q, k, v, mask, slopes, q_offset, o, lse)
 
 
 def _flash_bwd(causal, alibi, scale, res, do):
-    q, k, v, mask, slopes, o, lse = res
-    dq, dk, dv = _bwd_impl(q, k, v, mask, slopes, o, lse, do, causal=causal,
-                           alibi=alibi, scale=scale)
+    q, k, v, mask, slopes, q_offset, o, lse = res
+    dq, dk, dv = _bwd_impl(q, k, v, mask, slopes, q_offset, o, lse, do,
+                           causal=causal, alibi=alibi, scale=scale)
     dmask = None if mask is None else jnp.zeros_like(mask)
-    return dq, dk, dv, dmask, jnp.zeros_like(slopes)
+    return dq, dk, dv, dmask, jnp.zeros_like(slopes), jnp.zeros_like(q_offset)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(
-    q: jax.Array,  # [B, S, H, D]
+def context_parallel_flash_attention(
+    q: jax.Array,  # [B, S, H, D] — S sharded over `sp_axis`
     k: jax.Array,
     v: jax.Array,
+    mesh,
     *,
     attention_mask: Optional[jax.Array] = None,  # [B, S] 1=keep
     alibi: bool = False,
     causal: bool = False,
     softmax_scale: Optional[float] = None,
+    sp_axis: str = "sp",
+    batch_axes=("dp", "fsdp"),
+    head_axis: str = "tp",
+) -> jax.Array:
+    """Flash attention under sequence/context parallelism (SURVEY §5.7 — a
+    new capability vs the reference, whose SP splits only norm/dropout
+    regions between TP ranks, `long_conv_lm.py:516-534`).
+
+    shard_map over the sp mesh axis: each shard keeps its local q tile,
+    all-gathers K/V (bf16, rides ICI; autodiff turns the gather into a
+    reduce-scatter for dK/dV), and runs the Pallas kernel with a global
+    `q_offset` so ALiBi distances and the causal frontier are exact. XLA
+    cannot partition a pallas_call along S by itself — without this wrapper
+    it replicates the whole sequence on every sp shard.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    B, S, H, D = q.shape
+    sp = mesh.shape[sp_axis]
+    if (S // sp) % 128 != 0:
+        raise ValueError(f"local q length {S}/{sp} must be a multiple of 128")
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    slopes = alibi_slopes(H) if alibi else jnp.zeros((H,), jnp.float32)
+    qkv_spec = P(tuple(batch_axes), sp_axis, head_axis, None)
+    args = [q, k, v, slopes]
+    in_specs = [qkv_spec, qkv_spec, qkv_spec, P(head_axis)]
+    if attention_mask is not None:
+        args.append(attention_mask.astype(jnp.int32))
+        in_specs.append(P(tuple(batch_axes), sp_axis))
+
+    def local(qs, ks, vs, sl, *rest):
+        ms = rest[0] if rest else None
+        kg = jax.lax.all_gather(ks, sp_axis, axis=1, tiled=True)
+        vg = jax.lax.all_gather(vs, sp_axis, axis=1, tiled=True)
+        mg = (jax.lax.all_gather(ms, sp_axis, axis=1, tiled=True)
+              if ms is not None else None)
+        off = (jax.lax.axis_index(sp_axis) * qs.shape[1]).astype(jnp.int32)
+        qt, kt, vt = (x.swapaxes(1, 2) for x in (qs, kg, vg))
+        o = _flash(qt, kt, vt, mg, sl, off.reshape(1), causal, alibi, scale)
+        return o.swapaxes(1, 2)
+
+    fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=qkv_spec, check_vma=False)
+    return fn(*args)
+
+
+def flash_attention(
+    q: jax.Array,  # [B, Sq, H, D]
+    k: jax.Array,  # [B, Sk, H, D]  (Sk == Sq unless context-parallel)
+    v: jax.Array,
+    *,
+    attention_mask: Optional[jax.Array] = None,  # [B, Sk] 1=keep
+    alibi: bool = False,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    q_offset: Optional[jax.Array] = None,  # global position of q row 0
 ) -> jax.Array:
     B, S, H, D = q.shape
-    if S % 128 != 0:
+    if S % 128 != 0 or k.shape[1] % 128 != 0:
         raise ValueError(f"flash_attention requires S % 128 == 0, got {S}")
     scale = softmax_scale if softmax_scale is not None else D ** -0.5
     # [B, S, H, D] → [B, H, S, D]
@@ -338,5 +411,9 @@ def flash_attention(
     mask = None
     if attention_mask is not None:
         mask = attention_mask.astype(jnp.int32)
-    o = _flash(qt, kt, vt, mask, slopes, causal, alibi, scale)
+    if q_offset is None:
+        q_offset = jnp.zeros((1,), jnp.int32)
+    else:
+        q_offset = jnp.asarray(q_offset, jnp.int32).reshape((1,))
+    o = _flash(qt, kt, vt, mask, slopes, q_offset, causal, alibi, scale)
     return o.swapaxes(1, 2)

@@ -157,6 +157,19 @@ def selective_scan_auto(
     use_pallas = (impl == "pallas") or (
         impl == "auto" and jax.default_backend() == "tpu"
         and not return_last_state)
+    if impl in ("auto", "pallas") and not return_last_state:
+        # Context parallelism active? The kernel must be shard_mapped over
+        # the sp axis (XLA replicates custom calls along sharded dims).
+        from dna_tpu.parallel.mesh import ambient_mesh
+
+        sp_mesh = ambient_mesh("sp")
+        if sp_mesh is not None:
+            from dna_tpu.ops.scan_pallas import (
+                context_parallel_selective_scan)
+
+            return context_parallel_selective_scan(
+                u, delta, A, B, C, sp_mesh, D=D, z=z,
+                delta_bias=delta_bias, delta_softplus=delta_softplus)
     if use_pallas:
         from dna_tpu.ops.scan_pallas import selective_scan_pallas
 

@@ -63,10 +63,11 @@ def _outer(row_n, row_d):
         preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, hckpt_ref, *,
-                L: int):
+def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, h0_ref, y_ref, hckpt_ref,
+                hfin_ref, *, L: int):
     """u_ref/dt_ref/y_ref: [1, L, dtile] (dt post-softplus, fp32);
-    A_ref: [N, dtile]; B_ref/C_ref: [1, L, N];
+    A_ref: [N, dtile]; B_ref/C_ref: [1, L, N]; h0_ref/hfin_ref: [1, N, dtile]
+    (initial/final state — carries across context-parallel shards);
     hckpt_ref: [1, L//CKPT, N, dtile]."""
     N = A_ref.shape[0]
     dtile = A_ref.shape[1]
@@ -93,15 +94,17 @@ def _fwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, hckpt_ref, *,
             y_ref[0, pl.ds(t, 1), :] = y
         return h
 
-    h0 = jnp.zeros((N, dtile), jnp.float32)
-    jax.lax.fori_loop(0, L // UNROLL, body, h0)
+    h_last = jax.lax.fori_loop(0, L // UNROLL, body, h0_ref[0])
+    hfin_ref[0] = h_last
 
 
 def _bwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, hckpt_ref, dy_ref,
-                du_ref, ddt_ref, dA_ref, dB_ref, dC_ref, hseg_ref, *,
-                L: int):
+                ghfin_ref, du_ref, ddt_ref, dA_ref, dB_ref, dC_ref, dh0_ref,
+                hseg_ref, *, L: int):
     """Reverse scan per (batch, d-tile); hseg_ref scratch [CKPT, N, dtile]
-    holds the state ENTERING each step of the current segment."""
+    holds the state ENTERING each step of the current segment. ghfin_ref is
+    the cotangent of the final state (nonzero under context parallelism);
+    dh0_ref receives the cotangent of the initial state."""
     N = A_ref.shape[0]
     A = A_ref[:]
     n_seg = L // CKPT
@@ -164,10 +167,11 @@ def _bwd_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, hckpt_ref, dy_ref,
 
         return jax.lax.fori_loop(0, CKPT // UNROLL, bwd_body, (g, dA_acc))
 
-    g0 = jnp.zeros_like(A)
+    g0 = ghfin_ref[0]
     dA0 = jnp.zeros_like(A)
-    _, dA_acc = jax.lax.fori_loop(0, n_seg, seg_loop, (g0, dA0))
+    g_final, dA_acc = jax.lax.fori_loop(0, n_seg, seg_loop, (g0, dA0))
     dA_ref[0, 0] = dA_acc
+    dh0_ref[0] = g_final
 
 
 def _pad_d(x, dp):
@@ -178,15 +182,15 @@ def _pad_d(x, dp):
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _scan_core(u, dt, A, Bm, Cm, L):
-    """u/dt: [B, L, Dp] fp32 (dt post-softplus); A: [N, Dp]; Bm/Cm: [B,L,N].
-    Returns y [B, L, Dp]."""
-    y, _ = _scan_fwd_impl(u, dt, A, Bm, Cm, L)
-    return y
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _scan_core(u, dt, A, Bm, Cm, h0, L):
+    """u/dt: [B, L, Dp] fp32 (dt post-softplus); A: [N, Dp]; Bm/Cm: [B,L,N];
+    h0: [B, N, Dp] initial state. Returns (y [B,L,Dp], h_fin [B,N,Dp])."""
+    y, _, hfin = _scan_fwd_impl(u, dt, A, Bm, Cm, h0, L)
+    return y, hfin
 
 
-def _scan_fwd_impl(u, dt, A, Bm, Cm, L):
+def _scan_fwd_impl(u, dt, A, Bm, Cm, h0, L):
     B, _, Dp = u.shape
     N = A.shape[0]
     dtile = _pick_dtile(L, N, Dp, n_stream=3, scratch_steps=L // CKPT)
@@ -194,28 +198,32 @@ def _scan_fwd_impl(u, dt, A, Bm, Cm, L):
     dspec = pl.BlockSpec((1, L, dtile), lambda b, d: (b, 0, d))
     nspec = pl.BlockSpec((1, L, N), lambda b, d: (b, 0, 0))
     aspec = pl.BlockSpec((N, dtile), lambda b, d: (0, d))
-    y, hckpt = pl.pallas_call(
+    hspec = pl.BlockSpec((1, N, dtile), lambda b, d: (b, 0, d))
+    y, hckpt, hfin = pl.pallas_call(
         functools.partial(_fwd_kernel, L=L),
         grid=grid,
-        in_specs=[dspec, dspec, aspec, nspec, nspec],
+        in_specs=[dspec, dspec, aspec, nspec, nspec, hspec],
         out_specs=(dspec,
                    pl.BlockSpec((1, L // CKPT, N, dtile),
-                                lambda b, d: (b, 0, 0, d))),
+                                lambda b, d: (b, 0, 0, d)),
+                   hspec),
         out_shape=(jax.ShapeDtypeStruct((B, L, Dp), jnp.float32),
-                   jax.ShapeDtypeStruct((B, L // CKPT, N, Dp), jnp.float32)),
+                   jax.ShapeDtypeStruct((B, L // CKPT, N, Dp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N, Dp), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=_interpret(),
-    )(u, dt, A, Bm, Cm)
-    return y, hckpt
+    )(u, dt, A, Bm, Cm, h0)
+    return y, hckpt, hfin
 
 
-def _scan_core_fwd(u, dt, A, Bm, Cm, L):
-    y, hckpt = _scan_fwd_impl(u, dt, A, Bm, Cm, L)
-    return y, (u, dt, A, Bm, Cm, hckpt)
+def _scan_core_fwd(u, dt, A, Bm, Cm, h0, L):
+    y, hckpt, hfin = _scan_fwd_impl(u, dt, A, Bm, Cm, h0, L)
+    return (y, hfin), (u, dt, A, Bm, Cm, hckpt)
 
 
-def _scan_core_bwd(L, res, dy):
+def _scan_core_bwd(L, res, cts):
+    dy, dhfin = cts
     u, dt, A, Bm, Cm, hckpt = res
     B, _, Dp = u.shape
     N = A.shape[0]
@@ -226,17 +234,19 @@ def _scan_core_bwd(L, res, dy):
     dspec = pl.BlockSpec((1, L, dtile), lambda b, d: (b, 0, d))
     nspec = pl.BlockSpec((1, L, N), lambda b, d: (b, 0, 0))
     aspec = pl.BlockSpec((N, dtile), lambda b, d: (0, d))
+    hspec = pl.BlockSpec((1, N, dtile), lambda b, d: (b, 0, d))
     ckspec = pl.BlockSpec((1, L // CKPT, N, dtile), lambda b, d: (b, 0, 0, d))
     # dA per (b, tile); dB/dC written per tile then reduced over tiles.
-    du, ddt, dA_pb, dB_pt, dC_pt = pl.pallas_call(
+    du, ddt, dA_pb, dB_pt, dC_pt, dh0 = pl.pallas_call(
         functools.partial(_bwd_kernel, L=L),
         grid=grid,
-        in_specs=[dspec, dspec, aspec, nspec, nspec, ckspec, dspec],
+        in_specs=[dspec, dspec, aspec, nspec, nspec, ckspec, dspec, hspec],
         out_specs=(
             dspec, dspec,
             pl.BlockSpec((1, 1, N, dtile), lambda b, d: (b, 0, 0, d)),
             pl.BlockSpec((1, 1, L, N), lambda b, d: (b, d, 0, 0)),
             pl.BlockSpec((1, 1, L, N), lambda b, d: (b, d, 0, 0)),
+            hspec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, L, Dp), jnp.float32),
@@ -244,16 +254,17 @@ def _scan_core_bwd(L, res, dy):
             jax.ShapeDtypeStruct((B, 1, N, Dp), jnp.float32),
             jax.ShapeDtypeStruct((B, n_tiles, L, N), jnp.float32),
             jax.ShapeDtypeStruct((B, n_tiles, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, Dp), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((CKPT, N, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=_interpret(),
-    )(u, dt, A, Bm, Cm, hckpt, dy)
+    )(u, dt, A, Bm, Cm, hckpt, dy, dhfin)
     dA = jnp.sum(dA_pb, axis=(0, 1))          # [N, Dp], matches At
     dBm = jnp.sum(dB_pt, axis=1)              # [B, L, N]
     dCm = jnp.sum(dC_pt, axis=1)
-    return du, ddt, dA, dBm, dCm
+    return du, ddt, dA, dBm, dCm, dh0
 
 
 _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
@@ -270,13 +281,15 @@ def selective_scan_pallas(
     delta_bias: Optional[jax.Array] = None,
     delta_softplus: bool = False,
     return_last_state: bool = False,
+    initial_state: Optional[jax.Array] = None,  # [B, D, N]
 ):
     """Drop-in replacement for `dna_tpu.ops.scan.selective_scan` (forward
-    numerics identical; last-state return unsupported)."""
-    if return_last_state:
-        raise NotImplementedError("use selective_scan for last-state")
+    numerics identical). `initial_state`/`return_last_state` use the
+    mamba_ssm [B, D, N] layout; padded L steps have dt=0 so they leave the
+    state untouched and the final state stays exact."""
     orig_dtype = u.dtype
     Bsz, L, Dd = u.shape
+    N = A.shape[1]
     Dp = ((Dd + 127) // 128) * 128
     Lp = ((L + CKPT - 1) // CKPT) * CKPT
 
@@ -294,11 +307,93 @@ def selective_scan_pallas(
     if Lp != L:
         padL = ((0, 0), (0, Lp - L), (0, 0))
         u32, dt, Bm, Cm = (jnp.pad(a, padL) for a in (u32, dt, Bm, Cm))
+    if initial_state is None:
+        h0 = jnp.zeros((Bsz, N, Dp), jnp.float32)
+    else:
+        h0 = _pad_d(initial_state.astype(jnp.float32).swapaxes(1, 2), Dp)
 
-    y = _scan_core(u32, dt, At, Bm, Cm, Lp)[:, :L, :Dd]
+    y, hfin = _scan_core(u32, dt, At, Bm, Cm, h0, Lp)
+    y = y[:, :L, :Dd]
 
     if D is not None:
         y = y + u.astype(jnp.float32) * D.astype(jnp.float32)[None, None, :]
     if z is not None:
         y = y * jax.nn.silu(z.astype(jnp.float32))
-    return y.astype(orig_dtype)
+    y = y.astype(orig_dtype)
+    if return_last_state:
+        return y, hfin[:, :, :Dd].swapaxes(1, 2)      # [B, D, N]
+    return y
+
+
+def context_parallel_selective_scan(
+    u: jax.Array,      # [B, L, D] — L sharded over `sp_axis`
+    delta: jax.Array,
+    A: jax.Array,      # [D, N] (replicated)
+    B: jax.Array,      # [B, L, N]
+    C: jax.Array,
+    mesh,
+    D: Optional[jax.Array] = None,
+    z: Optional[jax.Array] = None,
+    delta_bias: Optional[jax.Array] = None,
+    delta_softplus: bool = False,
+    sp_axis: str = "sp",
+    batch_axes=("dp", "fsdp"),
+):
+    """Selective scan under context parallelism (new capability vs the
+    reference, SURVEY §5.7).
+
+    The recurrence is sequential in L, but it decomposes across shards:
+    pass 1 scans each shard locally from h=0 producing its final state F_i
+    and total decay P_i = exp(A ∘ Σ_t dt_t) (elementwise — the decay over a
+    span is exp of the dt-sum); the incoming carry of shard i is the
+    exclusive combine h_in_i = Σ_{j<i} (Π_{j<k<i} P_k) ∘ F_j, computed from
+    an all-gather of the tiny [B, N, D] summaries; pass 2 rescans locally
+    from h_in. Wall-clock ≈ 2·L/sp sequential steps vs L unsharded —
+    a sp/2 speedup plus L/sp activation memory per chip.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P_
+
+    sp = mesh.shape[sp_axis]
+    bspec = P_(tuple(batch_axes), sp_axis, None)
+
+    def local(u_s, dt_s, A_, B_s, C_s, *rest):
+        rest = list(rest)
+        D_ = rest.pop(0) if D is not None else None
+        z_s = rest.pop(0) if z is not None else None
+        dbias = rest.pop(0) if delta_bias is not None else None
+        # pass 1: local scan from zero state → (F_i, and the y we discard)
+        _, F = selective_scan_pallas(
+            u_s, dt_s, A_, B_s, C_s, D=None, z=None, delta_bias=dbias,
+            delta_softplus=delta_softplus, return_last_state=True)
+        # local decay product P_i = exp(A ∘ Σ dt) (post-bias/softplus dt)
+        dt32 = dt_s.astype(jnp.float32)
+        if dbias is not None:
+            dt32 = dt32 + dbias[None, None, :]
+        if delta_softplus:
+            dt32 = jax.nn.softplus(dt32)
+        sum_dt = dt32.sum(axis=1)                             # [B, D]
+        P_i = jnp.exp(sum_dt[:, :, None] * A_.astype(jnp.float32)[None])
+        # exclusive combine over shards from the gathered summaries
+        F_g = jax.lax.all_gather(F, sp_axis)                  # [sp, B, D, N]
+        P_g = jax.lax.all_gather(P_i, sp_axis)
+        idx = jax.lax.axis_index(sp_axis)
+        h_in = jnp.zeros_like(F)
+        carry = jnp.zeros_like(F)
+        for j in range(sp):
+            h_in = jnp.where(idx == j, carry, h_in)
+            carry = P_g[j] * carry + F_g[j]
+        # pass 2: local scan from the true incoming state
+        return selective_scan_pallas(
+            u_s, dt_s, A_, B_s, C_s, D=D_, z=z_s, delta_bias=dbias,
+            delta_softplus=delta_softplus, initial_state=h_in)
+
+    args = [u, delta, A, B, C]
+    in_specs = [bspec, bspec, P_(None, None), bspec, bspec]
+    for extra in (D, z, delta_bias):
+        if extra is not None:
+            args.append(extra)
+            in_specs.append(bspec if extra.ndim == 3 else P_(None))
+    fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=bspec, check_vma=False)
+    return fn(*args)

@@ -97,5 +97,27 @@ def logical_rules(extra: Sequence[Tuple[str, object]] = ()) -> list:
     return list(rules.items())
 
 
+def ambient_mesh(axis: Optional[str] = None, min_size: int = 2) -> Optional[Mesh]:
+    """The mesh of the enclosing `with mesh:` block, or None.
+
+    When `axis` is given, additionally require that the mesh has that axis
+    with size >= min_size. Lets mesh-agnostic ops (Pallas kernels) detect at
+    trace time that they must wrap themselves in shard_map — XLA replicates
+    custom calls along sharded dims instead of partitioning them.
+    """
+    try:
+        from jax._src.mesh import thread_resources
+
+        mesh = thread_resources.env.physical_mesh
+    except ImportError:
+        return None
+    if mesh is None or mesh.empty:
+        return None
+    if axis is not None and (axis not in mesh.axis_names or
+                             mesh.shape[axis] < min_size):
+        return None
+    return mesh
+
+
 def single_device_mesh() -> Mesh:
     return build_mesh(MeshConfig(dp=1, fsdp=1, tp=1, pp=1, sp=1), devices=jax.devices()[:1])

@@ -41,21 +41,91 @@ class LoopResult:
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: Optional[str], name: str):
+    """JSONL metrics sink with an optional wandb mirror (reference
+    CustomWandbLogger, `train.py:52-132`). wandb is not a hard dependency:
+    when it isn't importable (or init fails) the sink silently degrades to
+    JSONL-only, like the reference's rank-nonzero DummyExperiment."""
+
+    def __init__(self, log_dir: Optional[str], name: str,
+                 wandb_project: Optional[str] = None,
+                 wandb_init_retries: int = 3):
         self.path = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self.path = os.path.join(log_dir, f"{name}_metrics.jsonl")
             self._f = open(self.path, "a")
+        self._wandb = None
+        if wandb_project and jax.process_index() == 0:
+            self._wandb = _init_wandb(wandb_project, name, wandb_init_retries)
 
     def log(self, record: Dict[str, Any]):
         if self.path:
             self._f.write(json.dumps(record) + "\n")
             self._f.flush()
+        if self._wandb is not None:
+            try:
+                self._wandb.log(record, step=int(record.get("step", 0)))
+            except Exception:
+                pass
 
     def close(self):
         if self.path:
             self._f.close()
+        if self._wandb is not None:
+            try:
+                self._wandb.finish()
+            except Exception:
+                pass
+
+
+def _init_wandb(project: str, name: str, retries: int):
+    """Bounded-retry wandb.init (the reference retries forever with 30-60 s
+    backoff, `train.py:117-125`; bounded here so CI can't hang)."""
+    try:
+        import wandb  # type: ignore
+    except ImportError:
+        return None
+    for attempt in range(retries):
+        try:
+            return wandb.init(project=project, name=name, resume="allow")
+        except Exception:
+            time.sleep(min(2.0 * (attempt + 1), 10.0))
+    return None
+
+
+class TransformLoader:
+    """Wraps a loader, applying `fn` to every batch; forwards resume state.
+    Used for progressive resizing (resolution subsampling at collate level,
+    reference `base.py:109-133`)."""
+
+    def __init__(self, loader: ShardedLoader, fn):
+        self._loader = loader
+        self._fn = fn
+
+    def __iter__(self):
+        for batch in self._loader:
+            yield self._fn(batch)
+
+    @property
+    def state(self):
+        return self._loader.state
+
+    @state.setter
+    def state(self, value):
+        self._loader.state = value
+
+
+def subsample_batch(batch: Dict[str, Any], resolution: int) -> Dict[str, Any]:
+    """Stride-subsample every [B, L] sequence field (reference
+    `SequenceResolutionCollateMixin._collate_callback`: take every
+    `resolution`-th element)."""
+    if resolution <= 1:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        out[k] = arr[:, ::resolution] if arr.ndim >= 2 else arr
+    return out
 
 
 class TrainLoop:
@@ -75,7 +145,8 @@ class TrainLoop:
         self.monitor_mode = monitor_mode
         self.host_metrics = tuple(host_metrics)
         self.verbose = verbose
-        self.logger = MetricsLogger(log_dir, exp.cfg.name)
+        self.logger = MetricsLogger(log_dir, exp.cfg.name,
+                                    wandb_project=exp.cfg.train.wandb_project)
 
         self.mesh = exp.mesh
         seq_len = exp.cfg.data.max_length
@@ -93,7 +164,8 @@ class TrainLoop:
             exp.model, exp.task_fn, exp.tx, self.mesh, exp.rules,
             self.shardings, ema=exp.cfg.train.ema,
             deterministic=deterministic,
-            mlm_gather=getattr(exp.cfg.model, "mlm_gather", 0.0))
+            mlm_gather=getattr(exp.cfg.model, "mlm_gather", 0.0),
+            track_param_norms=exp.cfg.train.track_param_norms)
         self.eval_step = make_eval_step(exp.model, exp.task_fn, self.mesh,
                                         exp.rules, self.shardings)
         self.predict_step = make_predict_step(exp.model, self.mesh, exp.rules,
@@ -146,9 +218,21 @@ class TrainLoop:
             loader: Optional[ShardedLoader] = None) -> LoopResult:
         cfg = self.cfg
         steps = steps if steps is not None else cfg.train.steps
+        if cfg.train.debug:
+            steps = min(steps, int(self.state.step) + cfg.train.debug_steps)
         if loader is None:
             loader = ShardedLoader(self.exp.dataset, cfg.data.batch_size,
                                    seed=cfg.data.seed)
+
+        startup_evals: List[Dict[str, float]] = []
+        if cfg.train.validate_at_start or cfg.train.debug:
+            ev = self.evaluate(max_batches=cfg.train.eval_steps)
+            if ev:
+                ev["step"] = int(self.state.step)
+                self.logger.log(ev)
+                startup_evals.append(ev)
+                self._log("val@start: " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in ev.items() if k != "step"))
 
         # resume
         if self.ckpt and cfg.train.resume and self.ckpt.latest_step() is not None:
@@ -162,7 +246,7 @@ class TrainLoop:
             self._log(f"resumed from step {int(self.state.step)}")
 
         best = None
-        history: List[Dict[str, float]] = []
+        history: List[Dict[str, float]] = list(startup_evals)
         start_step = int(self.state.step)
         it = iter(loader)
         t_last = time.perf_counter()
@@ -171,6 +255,12 @@ class TrainLoop:
         for step_i in range(start_step, steps):
             batch = next(it)
             self.state, metrics = self.train_step(self.state, batch)
+
+            if cfg.train.debug:
+                loss = float(metrics.get("loss", 0.0))
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"non-finite loss {loss} at step {step_i + 1}")
 
             if cfg.train.log_every and (step_i + 1) % cfg.train.log_every == 0:
                 now = time.perf_counter()
@@ -235,3 +325,20 @@ class TrainLoop:
             results.append(res)
         last = results[-1] if results else LoopResult({}, None)
         return last
+
+    def run_resolution_stages(self) -> LoopResult:
+        """Progressive resizing (reference ProgressiveResizing callback):
+        stages of (resolution, steps); sequences are stride-subsampled at the
+        collate level, so each stage re-jits at L/resolution while params and
+        optimizer state carry across."""
+        results = []
+        total = 0
+        for (resolution, stage_steps) in self.cfg.train.resolution_stages:
+            self._log(f"stage: resolution={resolution} steps={stage_steps}")
+            base = ShardedLoader(self.exp.dataset, self.cfg.data.batch_size,
+                                 seed=self.cfg.data.seed)
+            loader = TransformLoader(
+                base, lambda b, r=resolution: subsample_batch(b, r))
+            total += stage_steps
+            results.append(self.run(steps=total, loader=loader))
+        return results[-1] if results else LoopResult({}, None)

@@ -73,6 +73,7 @@ def make_train_step(
     ema: float = 0.0,
     deterministic: Optional[bool] = None,
     mlm_gather: float = 0.0,
+    track_param_norms: bool = False,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jax.Array]]]:
     forward = make_forward_fn(model, task_fn, mlm_gather)
     det = bool(deterministic) if deterministic is not None else True
@@ -89,6 +90,17 @@ def make_train_step(
                 lambda e, p: e * ema + p * (1.0 - ema), new_ema, new_params)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if track_param_norms:
+            # per-parameter grad norms (reference TrackNorms
+            # `callbacks/norms.py:27-39` logs grad_2.0_norm/<name>)
+            flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+            import jax.numpy as jnp
+            for path, leaf in flat:
+                name = "/".join(
+                    getattr(p, "key", getattr(p, "name", str(p)))
+                    for p in path)
+                metrics[f"grad_norm/{name}"] = jnp.sqrt(
+                    (leaf.astype(jnp.float32) ** 2).sum())
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt,
             ema_params=new_ema)

@@ -1,0 +1,191 @@
+"""Context-parallel (sp axis) kernels: shard_map-wrapped flash attention and
+selective scan vs the unsharded references.
+
+The reference has no context parallelism (SURVEY §2.6: long context handled
+algorithmically); these are new capabilities. Correctness contract: sharding
+the sequence must not change numerics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dna_tpu.ops.attention_ref import alibi_bias, attention_ref, padding_bias
+from dna_tpu.ops.flash_attention import (context_parallel_flash_attention,
+                                         flash_attention)
+from dna_tpu.ops.scan import selective_scan_ref
+from dna_tpu.ops.scan_pallas import (context_parallel_selective_scan,
+                                     selective_scan_pallas)
+
+
+def _sp_mesh(sp=4):
+    devs = np.array(jax.devices()[: sp]).reshape(1, 1, 1, 1, sp)
+    return Mesh(devs, ("dp", "fsdp", "tp", "pp", "sp"))
+
+
+def _qkv(B=2, S=512, H=4, D=64, seed=0):
+    rng = np.random.default_rng(seed)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.asarray((rng.random((B, S)) > 0.1).astype(np.int32))
+    return q, k, v, mask
+
+
+def test_flash_q_offset_matches_full():
+    """Kernel with a sharded q tile + global q_offset equals the full run."""
+    q, k, v, mask = _qkv()
+    full = flash_attention(q, k, v, attention_mask=mask, alibi=True)
+    part = flash_attention(q[:, 256:], k, v, attention_mask=mask, alibi=True,
+                           q_offset=jnp.array([256]))
+    np.testing.assert_allclose(np.asarray(part), np.asarray(full[:, 256:]),
+                               atol=1e-5)
+
+
+def test_flash_q_offset_causal():
+    q, k, v, mask = _qkv(seed=1)
+    ref = attention_ref(q, k, v, padding_bias(mask), causal=True)
+    part = flash_attention(q[:, 256:], k, v, attention_mask=mask, causal=True,
+                           q_offset=jnp.array([256]))
+    np.testing.assert_allclose(np.asarray(part), np.asarray(ref[:, 256:]),
+                               atol=1e-5)
+
+
+def test_cp_flash_attention_matches_ref():
+    q, k, v, mask = _qkv()
+    mesh = _sp_mesh()
+    bias = alibi_bias(4, 512) + padding_bias(mask)
+    ref = attention_ref(q, k, v, bias)
+    with mesh:
+        out = jax.jit(lambda *a: context_parallel_flash_attention(
+            *a[:3], mesh, attention_mask=a[3], alibi=True))(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_cp_flash_attention_grads_match_ref():
+    q, k, v, mask = _qkv(seed=2)
+    mesh = _sp_mesh()
+    bias = alibi_bias(4, 512) + padding_bias(mask)
+
+    def loss_cp(q, k, v):
+        return (context_parallel_flash_attention(
+            q, k, v, mesh, attention_mask=mask, alibi=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (attention_ref(q, k, v, bias) ** 2).sum()
+
+    with mesh:
+        g_cp = jax.jit(jax.grad(loss_cp, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_cp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def _scan_inputs(Bsz=2, L=512, Dd=128, N=8, seed=0):
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(rng.normal(size=(Bsz, L, Dd)), jnp.float32)
+    delta = jnp.asarray(rng.normal(size=(Bsz, L, Dd)) * 0.5, jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(Dd, N)), jnp.float32))
+    B = jnp.asarray(rng.normal(size=(Bsz, L, N)), jnp.float32)
+    C = jnp.asarray(rng.normal(size=(Bsz, L, N)), jnp.float32)
+    D = jnp.asarray(rng.normal(size=(Dd,)), jnp.float32)
+    z = jnp.asarray(rng.normal(size=(Bsz, L, Dd)), jnp.float32)
+    db = jnp.asarray(rng.normal(size=(Dd,)) * 0.1, jnp.float32)
+    return u, delta, A, B, C, D, z, db
+
+
+def test_scan_initial_and_last_state():
+    """Splitting the sequence and chaining via initial_state is exact."""
+    u, delta, A, B, C, D, z, db = _scan_inputs()
+    yfull, hfull = selective_scan_pallas(
+        u, delta, A, B, C, delta_bias=db, delta_softplus=True,
+        return_last_state=True)
+    y1, h1 = selective_scan_pallas(
+        u[:, :256], delta[:, :256], A, B[:, :256], C[:, :256],
+        delta_bias=db, delta_softplus=True, return_last_state=True)
+    y2, h2 = selective_scan_pallas(
+        u[:, 256:], delta[:, 256:], A, B[:, 256:], C[:, 256:],
+        delta_bias=db, delta_softplus=True, initial_state=h1,
+        return_last_state=True)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([y1, y2], 1)),
+                               np.asarray(yfull), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(hfull), atol=1e-5)
+    # against the sequential oracle too
+    yr, hr = selective_scan_ref(u, delta, A, B, C, delta_bias=db,
+                                delta_softplus=True, return_last_state=True)
+    np.testing.assert_allclose(np.asarray(yfull), np.asarray(yr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hfull), np.asarray(hr), atol=1e-4)
+
+
+def test_cp_selective_scan_matches_ref():
+    u, delta, A, B, C, D, z, db = _scan_inputs(seed=3)
+    mesh = _sp_mesh()
+    yr = selective_scan_ref(u, delta, A, B, C, D=D, z=z, delta_bias=db,
+                            delta_softplus=True)
+    with mesh:
+        ycp = jax.jit(lambda *a: context_parallel_selective_scan(
+            *a[:5], mesh, D=a[5], z=a[6], delta_bias=a[7],
+            delta_softplus=True))(u, delta, A, B, C, D, z, db)
+    np.testing.assert_allclose(np.asarray(ycp), np.asarray(yr), atol=1e-4)
+
+
+def test_cp_selective_scan_grads_match_ref():
+    u, delta, A, B, C, D, z, db = _scan_inputs(seed=4)
+    mesh = _sp_mesh()
+
+    def loss_cp(u, delta, A, B, C):
+        return (context_parallel_selective_scan(
+            u, delta, A, B, C, mesh, D=D, z=z, delta_bias=db,
+            delta_softplus=True) ** 2).sum()
+
+    def loss_ref(u, delta, A, B, C):
+        return (selective_scan_ref(
+            u, delta, A, B, C, D=D, z=z, delta_bias=db,
+            delta_softplus=True) ** 2).sum()
+
+    with mesh:
+        g_cp = jax.jit(jax.grad(loss_cp, argnums=(0, 1, 2, 3, 4)))(
+            u, delta, A, B, C)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(u, delta, A, B, C)
+    for a, b in zip(g_cp, g_ref):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-4, rel
+
+
+def test_sp_training_step_dnabert2():
+    """End-to-end: a DNABERT-2 MLM train step over a mesh with sp=2 runs and
+    auto-dispatches attention through the shard_map wrapper (previously fell
+    back to the XLA path)."""
+    from dna_tpu.config.core import MeshConfig
+    from dna_tpu.experiments import build, get_experiment
+    from dna_tpu.parallel.mesh import build_mesh
+    from dna_tpu.train.loop import TrainLoop
+
+    cfg = get_experiment("dnabert2_pretrain_tiny", [
+        "data.batch_size=8", "data.max_length=256", "train.steps=2",
+        "train.log_every=0", "model.use_flash=true",
+    ])
+    mesh = build_mesh(MeshConfig(dp=2, sp=2))
+    exp = build(cfg, mesh=mesh)
+    loop = TrainLoop(exp, verbose=False)
+    res = loop.run()
+    assert np.isfinite(res.final_metrics["loss"])
+
+
+def test_sp_training_step_caduceus():
+    """Caduceus (bi-mamba) train step under sp=2 exercises the cp scan."""
+    from dna_tpu.config.core import MeshConfig
+    from dna_tpu.experiments import build, get_experiment
+    from dna_tpu.parallel.mesh import build_mesh
+    from dna_tpu.train.loop import TrainLoop
+
+    cfg = get_experiment("caduceus_pretrain_tiny", [
+        "data.batch_size=8", "data.max_length=256", "train.steps=2",
+        "train.log_every=0",
+    ])
+    mesh = build_mesh(MeshConfig(dp=2, sp=2))
+    exp = build(cfg, mesh=mesh)
+    loop = TrainLoop(exp, verbose=False)
+    res = loop.run()
+    assert np.isfinite(res.final_metrics["loss"])

@@ -154,3 +154,120 @@ def test_named_eval_loaders(tmp_path):
     evals = [h for h in res.history if any(k.startswith("test/") for k in h)]
     assert evals, res.history
     assert "val/loss" in evals[-1] and "test/loss" in evals[-1]
+
+
+def test_debug_mode_caps_steps_and_validates(tmp_path):
+    """Reference `config.debug` → fast_dev_run + validate_at_start
+    (`src/utils/train.py:79-91`, `train.py:685-687`)."""
+    from dna_tpu.data.synthetic import SyntheticMLMDataset
+    from dna_tpu.train.loop import TrainLoop
+
+    cfg = get_experiment("dnabert2_pretrain_tiny", [
+        "data.batch_size=16", "train.steps=50", "train.debug=true",
+        "train.eval_steps=1", "train.log_every=1",
+    ])
+    mesh = build_mesh(MeshConfig(dp=2))
+    exp = build(cfg, mesh=mesh)
+    val = SyntheticMLMDataset(exp.tokenizer, max_length=cfg.data.max_length,
+                              num_samples=32, seed=5)
+    loop = TrainLoop(exp, eval_dataset=val, verbose=False)
+    res = loop.run()
+    assert res.steps_done == 2  # debug_steps cap, not 50
+    # val-at-start record present (step 0)
+    assert any(h.get("step") == 0 and "val/loss" in h for h in res.history)
+
+
+def test_track_param_norms(tmp_path):
+    """Per-parameter grad-norm metrics (reference TrackNorms callback)."""
+    cfg = get_experiment("dnabert2_pretrain_tiny", [
+        "data.batch_size=16", "train.steps=2", "train.log_every=1",
+        "train.track_param_norms=true",
+    ])
+    mesh = build_mesh(MeshConfig(dp=2))
+    exp = build(cfg, mesh=mesh)
+    from dna_tpu.train.loop import TrainLoop
+
+    loop = TrainLoop(exp, verbose=False)
+    res = loop.run()
+    per_param = [k for k in res.history[-1] if k.startswith("grad_norm/")]
+    assert len(per_param) > 3, res.history[-1].keys()
+    assert all(np.isfinite(res.history[-1][k]) for k in per_param)
+
+
+def test_resolution_stages(tmp_path):
+    """Progressive resizing: stride subsampling, params carry across."""
+    cfg = get_experiment("dnabert2_pretrain_tiny", [
+        "data.batch_size=16", "train.log_every=0",
+        'train.resolution_stages=[[4, 2], [1, 2]]',
+    ])
+    mesh = build_mesh(MeshConfig(dp=2))
+    exp = build(cfg, mesh=mesh)
+    from dna_tpu.train.loop import TrainLoop
+
+    loop = TrainLoop(exp, verbose=False)
+    res = loop.run_resolution_stages()
+    assert int(loop.state.step) == 4
+    assert np.isfinite(res.final_metrics["loss"])
+
+
+def test_subsample_batch():
+    from dna_tpu.train.loop import subsample_batch
+
+    b = {"input_ids": np.arange(32).reshape(2, 16), "labels": np.ones((2, 16))}
+    out = subsample_batch(b, 4)
+    assert out["input_ids"].shape == (2, 4)
+    np.testing.assert_array_equal(out["input_ids"][0], [0, 4, 8, 12])
+    assert subsample_batch(b, 1) is b
+
+
+def test_wandb_sink_with_fake_module(tmp_path, monkeypatch):
+    """The wandb mirror engages when wandb is importable and degrades to
+    JSONL-only otherwise (reference CustomWandbLogger semantics)."""
+    import sys
+    import types
+
+    logged = []
+
+    fake = types.ModuleType("wandb")
+
+    class _Run:
+        def log(self, rec, step=None):
+            logged.append((step, rec))
+
+        def finish(self):
+            pass
+
+    fake.init = lambda **kw: _Run()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from dna_tpu.train.loop import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), "t", wandb_project="proj")
+    lg.log({"loss": 1.0, "step": 3})
+    lg.close()
+    assert logged == [(3, {"loss": 1.0, "step": 3})]
+    # JSONL written too
+    with open(lg.path) as f:
+        assert '"loss": 1.0' in f.read()
+
+
+def test_wandb_sink_absent_is_noop(tmp_path, monkeypatch):
+    import builtins
+    import sys
+
+    monkeypatch.setitem(sys.modules, "wandb", None)  # forces ImportError? no
+    sys.modules.pop("wandb", None)
+    real_import = builtins.__import__
+
+    def deny(name, *a, **k):
+        if name == "wandb":
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", deny)
+    from dna_tpu.train.loop import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), "t2", wandb_project="proj")
+    lg.log({"loss": 2.0, "step": 1})
+    lg.close()
+    assert lg._wandb is None

@@ -149,3 +149,55 @@ def test_convnext_and_deepstarr_shapes():
     out = ds.apply(p, ids)
     assert out.shape == (2, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("mode", ["up_down", "convnext"])
+def test_denoise_cnn_extra_modes(mode):
+    """U-Net (`denoise.py:286-312,588-622`) and RC-gated ConvNeXt
+    (`denoise.py:412-421,623-645`) modes."""
+    m = DenoiseCNN(hidden_dim=36, mode=mode, n_out=2, head="cls")
+    ids = jax.random.randint(jax.random.key(0), (2, 64), 0, 5)
+    params = m.init(jax.random.key(1), ids)
+    out = m.apply(params, ids)
+    assert out.shape == (2, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    grads = jax.grad(lambda p: m.apply(p, ids).sum())(params)
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_denoise_updown_preserves_length():
+    """The U-Net decoder restores the input resolution, so the pretrain
+    (per-position) head still works."""
+    m = DenoiseCNN(hidden_dim=36, mode="up_down", head="pretrain")
+    ids = jax.random.randint(jax.random.key(0), (2, 64), 0, 5)
+    params = m.init(jax.random.key(1), ids)
+    out = m.apply(params, ids)
+    assert out.shape == (2, 64, 5)
+
+
+def test_esm_contact_prediction_head():
+    """Contact head (`modeling_esm.py:236-268`): symmetric [B, S-2, S-2]
+    probabilities from stacked attention maps."""
+    from dna_tpu.config.core import ModelConfig
+    from dna_tpu.models.esm import (EsmForContactPrediction,
+                                    average_product_correct, symmetrize)
+
+    cfg = ModelConfig(vocab_size=16, d_model=32, n_layers=2, n_heads=4,
+                      d_ff=64, rotary=True, dtype="float32")
+    m = EsmForContactPrediction(cfg)
+    ids = jax.random.randint(jax.random.key(0), (2, 12), 0, 16)
+    mask = jnp.ones((2, 12), jnp.int32)
+    params = m.init(jax.random.key(1), ids, mask)
+    out = np.asarray(m.apply(params, ids, mask))
+    assert out.shape == (2, 10, 10)
+    assert ((out >= 0) & (out <= 1)).all()
+    np.testing.assert_allclose(out, out.swapaxes(-1, -2), atol=1e-5)
+
+    # symmetrize/APC invariants
+    x = jax.random.normal(jax.random.key(2), (1, 3, 5, 5))
+    s = symmetrize(x)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s).swapaxes(-1, -2),
+                               rtol=1e-6)
+    a = average_product_correct(jnp.abs(x) + 1.0)
+    assert a.shape == x.shape
