@@ -154,6 +154,7 @@ class ModelConfig:
     hyena_order: int = 2
     hyena_filter_order: int = 64
     hyena_filter_emb_dim: int = 33
+    hyena_filter_shift: float = 0.0  # 0.05 for HF HyenaDNA checkpoints
     short_filter_len: int = 3
     # mamba / caduceus
     d_state: int = 16

@@ -115,6 +115,9 @@ class HyenaOperator(nn.Module):
     num_blocks: int = 1
     dropout: float = 0.0
     bidirectional: bool = False
+    # modulation shift: in-repo reference defaults 0.0 (`hyena.py:145`),
+    # standalone/HF HyenaDNA uses 0.05 (`standalone_hyenadna.py:126`)
+    filter_shift: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -156,6 +159,7 @@ class HyenaOperator(nn.Module):
         k = HyenaFilter(
             d_filter=d * (cfg.order - 1), emb_dim=cfg.filter_emb_dim,
             filter_order=cfg.filter_order, seq_len=cfg.l_max,
+            shift=cfg.filter_shift,
             name="hyena_filter")(l_filter)  # [L, d*(order-1)]
         k = k.reshape(l_filter, cfg.order - 1, d)  # order-major split
         filt_bias = self.param(
@@ -187,4 +191,5 @@ def _hyena(cfg: ModelConfig, l_max: int):
         filter_emb_dim=cfg.hyena_filter_emb_dim,
         short_filter_order=cfg.short_filter_len, dropout=cfg.dropout,
         bidirectional=cfg.bidirectional and not cfg.alibi,
+        filter_shift=cfg.hyena_filter_shift,
         dtype=jnp.dtype(cfg.dtype))

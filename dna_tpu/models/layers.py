@@ -111,7 +111,9 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         h = dense(self.d_ff, ("embed", "mlp"), dtype=self.dtype, name="wi")(x)
-        h = nn.gelu(h, approximate=True)
+        # exact gelu: the reference's Mlp uses F.gelu's erf form
+        # (`standalone_hyenadna.py:433`), needed for checkpoint parity
+        h = nn.gelu(h, approximate=False)
         h = nn.with_logical_constraint(h, ("batch", "seq", "mlp"))
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)

@@ -83,7 +83,9 @@ class LMBlock(nn.Module):
                 filter_order=cfg.hyena_filter_order,
                 filter_emb_dim=cfg.hyena_filter_emb_dim,
                 short_filter_order=cfg.short_filter_len, dropout=cfg.dropout,
-                bidirectional=not self.causal, dtype=jnp.dtype(cfg.dtype),
+                bidirectional=not self.causal,
+                filter_shift=cfg.hyena_filter_shift,
+                dtype=jnp.dtype(cfg.dtype),
                 name="mixer")(h, deterministic=deterministic)
         if cfg.dropout > 0.0:
             h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
