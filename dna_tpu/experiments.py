@@ -37,8 +37,13 @@ def dnabert2_pretrain() -> ExperimentConfig:
     `configs/experiment/dnabert2/dnabert2_hg38_pretrain.yaml`)."""
     return ExperimentConfig(
         name="dnabert2_pretrain",
+        # mlm_gather: masked-token-only LM head, like the reference's
+        # masked-only prediction_scores (`bert_layers.py:817-833`) — cuts the
+        # head matmul + fp32 CE to the gathered positions (measured +2%
+        # tokens/sec at S=128; budget 0.25 ≫ the 0.15 mask rate)
         model=ModelConfig(name="dnabert2", vocab_size=4096, d_model=768,
-                          n_layers=12, n_heads=12, d_ff=3072, alibi=True),
+                          n_layers=12, n_heads=12, d_ff=3072, alibi=True,
+                          mlm_gather=0.25),
         data=DataConfig(dataset="synthetic_mlm", tokenizer="bpe", max_length=128,
                         batch_size=512, mlm_probability=0.15),
         task=TaskConfig(name="mlm"),

@@ -73,4 +73,16 @@ def multihead_attention(
     if attention_mask is not None:
         pb = padding_bias(attention_mask)
         bias = pb if bias is None else bias + pb
-    return attention_ref(q, k, v, bias, causal=causal, softmax_scale=softmax_scale)
+
+    # jax.checkpoint around the reference attention: the [B, H, S, S] fp32
+    # scores/probs are recomputed in the backward pass instead of being
+    # written to and read back from HBM — the DNABERT-2 step at S=128 is
+    # memory-bound (XLA cost analysis: 76 GB/step, memory SoL 93 ms vs
+    # compute SoL 60 ms), and the S² tensors are the largest stored
+    # activations. Values are unchanged; only the autodiff schedule is.
+    @jax.checkpoint
+    def _attn(q, k, v, bias):
+        return attention_ref(q, k, v, bias, causal=causal,
+                             softmax_scale=softmax_scale)
+
+    return _attn(q, k, v, bias)

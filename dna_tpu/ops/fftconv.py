@@ -40,6 +40,114 @@ def _irfft(x, n):
     return jnp.fft.irfft(x, n=n, axis=-2)
 
 
+# ---------------------------------------------------------------------------
+# Blocked (two-stage Cooley–Tukey) FFT along axis -2.
+#
+# At Hyena long-context lengths (L ≥ 64k → FFT size ≥ 128k) a single
+# monolithic XLA FFT is pathological to compile through the remote-compile
+# tunnel. Decompose N = N1·N2: FFT_N1 over the block index, twiddle
+# W_N^{n2·k1}, FFT_N2 over the within-block index — XLA only ever sees two
+# batched FFTs of ≤ 4096 points plus elementwise complex math (the
+# FlashFFTConv decomposition idea, arXiv:2311.05908, realized with XLA ops
+# instead of a fused kernel). The intermediate keeps its frequency indices in
+# the permuted [k1, k2] layout; `_blocked_ifft` reverses the exact steps, so
+# pointwise products between two forward transforms are consistent and no
+# reordering transpose is ever materialized.
+# ---------------------------------------------------------------------------
+
+
+def _split_fft_size(n: int, max_radix: int = 4096):
+    """n = n1·n2 with both factors ≤ max_radix and as square as possible."""
+    best = None
+    n1 = 1
+    while n1 * n1 <= n:
+        if n % n1 == 0:
+            n2 = n // n1
+            if n1 <= max_radix and n2 <= max_radix:
+                best = (n1, n2)
+        n1 += 1
+    if best is None:
+        raise ValueError(f"cannot factor fft size {n} into radices "
+                         f"≤ {max_radix}")
+    return best
+
+
+def _twiddle(n1: int, n2: int) -> jax.Array:
+    # W_N^{k1·n2}: [n1, n2] with N = n1·n2 (fp64 phase then complex64 —
+    # float32 phases lose ~1e-3 accuracy at N ≥ 1e5)
+    import numpy as np
+
+    k1 = np.arange(n1)[:, None]
+    n2i = np.arange(n2)[None, :]
+    phase = -2.0 * np.pi * (k1 * n2i) / (n1 * n2)
+    return jnp.asarray(np.exp(1j * phase), jnp.complex64)
+
+
+def _blocked_fft(x: jax.Array, n: int) -> jax.Array:
+    """DFT_n of x (complex, zero-padded) along axis -2; output [..., n1, n2,
+    D] in the permuted layout X[k1 + n1·k2] = out[..., k1, k2, :]."""
+    n1, n2 = _split_fft_size(n)
+    L = x.shape[-2]
+    if L < n:
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, n - L), (0, 0)]
+        x = jnp.pad(x, pad)
+    # x[n1_idx·n2 + n2_idx] → [..., n1_idx, n2_idx, D]
+    xb = x.reshape(*x.shape[:-2], n1, n2, x.shape[-1])
+    a = jnp.fft.fft(xb, axis=-3)                   # over n1 → k1
+    a = a * _twiddle(n1, n2)[..., None]
+    return jnp.fft.fft(a, axis=-2)                 # over n2 → k2
+
+
+def _blocked_ifft(X: jax.Array, n: int) -> jax.Array:
+    """Inverse of `_blocked_fft` (same permuted layout in); returns
+    [..., n, D] complex."""
+    n1, n2 = X.shape[-3], X.shape[-2]
+    a = jnp.fft.ifft(X, axis=-2)
+    a = a * jnp.conj(_twiddle(n1, n2))[..., None]
+    x = jnp.fft.ifft(a, axis=-3)
+    return x.reshape(*X.shape[:-3], n1 * n2, X.shape[-1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _causal_fftconv_blocked(u: jax.Array, k: jax.Array, fft_size: int):
+    L = u.shape[-2]
+    u_f = _blocked_fft(u.astype(jnp.complex64), fft_size)
+    k_f = _blocked_fft(k.astype(jnp.complex64), fft_size)
+    y = _blocked_ifft(u_f * k_f, fft_size)
+    return y.real[..., :L, :]
+
+
+def _blocked_fwd(u, k, fft_size):
+    L = u.shape[-2]
+    u_f = _blocked_fft(u.astype(jnp.complex64), fft_size)
+    k_f = _blocked_fft(k.astype(jnp.complex64), fft_size)
+    y = _blocked_ifft(u_f * k_f, fft_size).real[..., :L, :]
+    return y, (u_f, k_f, u.shape, k.shape)
+
+
+def _blocked_bwd(fft_size, res, dy):
+    u_f, k_f, u_shape, k_shape = res
+    L = dy.shape[-2]
+    dy_f = _blocked_fft(dy.astype(jnp.complex64), fft_size)
+    du = _blocked_ifft(dy_f * jnp.conj(k_f), fft_size).real[..., :L, :]
+    dk = _blocked_ifft(dy_f * jnp.conj(u_f), fft_size).real[..., :L, :]
+    extra = dk.ndim - len(k_shape)
+    if extra:
+        dk = dk.sum(axis=tuple(range(extra)))
+    for ax, (dk_d, k_d) in enumerate(zip(dk.shape, k_shape)):
+        if k_d == 1 and dk_d != 1:
+            dk = dk.sum(axis=ax, keepdims=True)
+    return (du.reshape(u_shape).astype(jnp.float32),
+            dk.reshape(k_shape).astype(jnp.float32))
+
+
+_causal_fftconv_blocked.defvjp(_blocked_fwd, _blocked_bwd)
+
+# sequence length at/above which the blocked decomposition replaces the
+# monolithic XLA FFT (64k: where remote compile becomes infeasible)
+BLOCKED_FFT_MIN_LEN = 65536
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _causal_fftconv(u: jax.Array, k: jax.Array, fft_size: int) -> jax.Array:
     """Causal linear conv along axis -2 of u [..., L, D]; k broadcastable."""
@@ -85,28 +193,44 @@ def fftconv(
     bidirectional: bool = False,
     k_rev: Optional[jax.Array] = None,
 ) -> jax.Array:
+    import os as _os
+
     L = u.shape[-2]
     fft_size = 2 * L
     orig_dtype = u.dtype
+    impl = _os.environ.get("DNA_TPU_FFT_IMPL", "auto")
+    use_blocked = (impl == "blocked") or (
+        impl == "auto" and L >= BLOCKED_FFT_MIN_LEN)
 
     if k_rev is not None or bidirectional:
         # Bidirectional path keeps the reference's exact formulation: forward
         # kernel plus conjugated (time-reversed) kernel and/or a centered
         # input shift (`hyena.py:62-77`).
-        k_f = _rfft(k, fft_size)
-        if k_rev is not None:
-            k_f = k_f + jnp.conj(_rfft(k_rev, fft_size))
         if bidirectional:
             pad = [(0, 0)] * (u.ndim - 2) + [(L // 2, 0), (0, 0)]
             u_in = jnp.pad(u.astype(jnp.float32), pad)
         else:
             u_in = u
-        y = _irfft(_rfft(u_in, fft_size) * k_f, fft_size)[..., :L, :]
+        if use_blocked:
+            k_f = _blocked_fft(k.astype(jnp.complex64), fft_size)
+            if k_rev is not None:
+                # conj in time ↔ reversed kernel: conj(FFT(k_rev)) in the
+                # permuted layout still pairs the right frequencies
+                k_f = k_f + jnp.conj(
+                    _blocked_fft(k_rev.astype(jnp.complex64), fft_size))
+            y = _blocked_ifft(
+                _blocked_fft(u_in.astype(jnp.complex64), fft_size) * k_f,
+                fft_size).real[..., :L, :]
+        else:
+            k_f = _rfft(k, fft_size)
+            if k_rev is not None:
+                k_f = k_f + jnp.conj(_rfft(k_rev, fft_size))
+            y = _irfft(_rfft(u_in, fft_size) * k_f, fft_size)[..., :L, :]
     else:
         # enter the custom_vjp with fp32 primals so cotangent dtypes are
         # uniform (bf16 inputs otherwise mismatch the fp32 backward)
-        y = _causal_fftconv(u.astype(jnp.float32), k.astype(jnp.float32),
-                            fft_size)
+        conv = _causal_fftconv_blocked if use_blocked else _causal_fftconv
+        y = conv(u.astype(jnp.float32), k.astype(jnp.float32), fft_size)
 
     if D is not None:
         y = y + u.astype(jnp.float32) * D
