@@ -95,3 +95,41 @@ def generate(model, params, prompt_ids: jax.Array, rng: jax.Array, *,
     (buf, _, _), _ = jax.lax.scan(step, (buf, jnp.int32(P), rng), None,
                                   length=num_tokens)
     return buf
+
+
+@partial(jax.jit, static_argnames=("model", "num_tokens", "temperature",
+                                   "greedy"))
+def generate_recurrent(model, params, prompt_ids: jax.Array, rng: jax.Array,
+                       *, num_tokens: int = 32, temperature: float = 1.0,
+                       greedy: bool = False) -> jax.Array:
+    """O(1)-per-token autoregressive sampling for recurrent (mamba-mixer)
+    LMs: one full prefill pass collects per-layer (conv window, ssm) states,
+    then each new token is a constant-time `step` — the capability the
+    reference gets from the CUDA `selective_state_update`
+    (`pyramid.py:236-277`). Requires `model` to be an `LMHeadModel` with
+    `mixer='mamba'` and `causal=True`."""
+    B, P = prompt_ids.shape
+
+    logits, states = model.apply({"params": params}, prompt_ids,
+                                 method="prefill")
+    last_logits = logits[:, -1]
+
+    def sample(key, lg):
+        if greedy:
+            return jnp.argmax(lg, axis=-1)
+        return jax.random.categorical(key, lg / temperature)
+
+    def step(carry, _):
+        tok, states, key = carry
+        key, sub = jax.random.split(key)
+        lg, states = model.apply({"params": params}, tok, states,
+                                 method="step")
+        nxt = sample(sub, lg).astype(prompt_ids.dtype)
+        return (nxt, states, key), nxt
+
+    rng, sub = jax.random.split(rng)
+    first = sample(sub, last_logits).astype(prompt_ids.dtype)
+    (_, _, _), rest = jax.lax.scan(step, (first, states, rng), None,
+                                   length=num_tokens - 1)
+    gen = jnp.concatenate([first[None], rest], axis=0)  # [T, B]
+    return jnp.concatenate([prompt_ids, gen.swapaxes(0, 1)], axis=1)

@@ -167,13 +167,15 @@ class EsmEncoder(nn.Module):
         x = self.embed(input_ids)
         all_probs = []
         for layer in self.layers:
-            out = layer(x, attention_mask, deterministic=deterministic,
-                        output_attentions=output_attentions)
+            # pass the kwarg only when set: a python bool kwarg through a
+            # remat-wrapped layer gets traced and breaks `if` branches
             if output_attentions:
-                x, probs = out
+                x, probs = layer(x, attention_mask,
+                                 deterministic=deterministic,
+                                 output_attentions=True)
                 all_probs.append(probs)
             else:
-                x = out
+                x = layer(x, attention_mask, deterministic=deterministic)
         x = self.final_ln(x).astype(x.dtype)
         if output_attentions:
             return x, jnp.stack(all_probs, axis=1)  # [B, L, H, S, S]

@@ -51,7 +51,11 @@ class MHAMixer(nn.Module):
 
 
 class LMBlock(nn.Module):
-    """Pre-norm block: x + mixer(LN(x)); x + MLP(LN(x))."""
+    """Pre-norm block: x + mixer(LN(x)); x + MLP(LN(x)).
+
+    Mamba-mixer blocks also support O(1) recurrent stepping
+    (`__call__(return_state=True)` for prefill, then `step`) — the
+    reference's `SequenceModel.step` contract (`model.py:124-134`)."""
 
     cfg: ModelConfig
     layer_idx: int
@@ -59,43 +63,83 @@ class LMBlock(nn.Module):
     l_max: int = 1024
     causal: bool = True
 
-    @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def setup(self):
         cfg = self.cfg
-        h = layer_norm(eps=cfg.norm_eps, name="mixer_ln")(x).astype(x.dtype)
+        self.mixer_ln = layer_norm(eps=cfg.norm_eps)
+        self.mlp_ln = layer_norm(eps=cfg.norm_eps)
+        self.mlp = Mlp(cfg.d_ff, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
+                       dropout=cfg.dropout)
+        if cfg.dropout > 0.0:
+            self.drop = nn.Dropout(cfg.dropout)
         if self.layer_idx in self.attn_layer_idx:
-            h = MHAMixer(cfg, causal=self.causal, name="mixer")(
-                h, deterministic=deterministic)
+            self.mixer = MHAMixer(cfg, causal=self.causal)
+            self._mixer_kind = "attn"
         elif cfg.mixer == "mamba":
             from dna_tpu.models.mamba import BiMambaWrapper, Mamba
 
             if self.causal:
-                h = Mamba(cfg.d_model, cfg.d_state, cfg.d_conv, cfg.expand,
-                          dtype=jnp.dtype(cfg.dtype), name="mixer")(h)
+                self.mixer = Mamba(cfg.d_model, cfg.d_state, cfg.d_conv,
+                                   cfg.expand, dtype=jnp.dtype(cfg.dtype))
+                self._mixer_kind = "mamba"
             else:
-                h = BiMambaWrapper(
+                self.mixer = BiMambaWrapper(
                     cfg.d_model, cfg.d_state, cfg.d_conv, cfg.expand,
                     strategy=cfg.bidirectional_strategy,
-                    dtype=jnp.dtype(cfg.dtype), name="mixer")(h)
+                    dtype=jnp.dtype(cfg.dtype))
+                self._mixer_kind = "bimamba"
         else:
-            h = HyenaOperator(
+            self.mixer = HyenaOperator(
                 d_model=cfg.d_model, l_max=self.l_max, order=cfg.hyena_order,
                 filter_order=cfg.hyena_filter_order,
                 filter_emb_dim=cfg.hyena_filter_emb_dim,
                 short_filter_order=cfg.short_filter_len, dropout=cfg.dropout,
                 bidirectional=not self.causal,
                 filter_shift=cfg.hyena_filter_shift,
-                dtype=jnp.dtype(cfg.dtype),
-                name="mixer")(h, deterministic=deterministic)
+                dtype=jnp.dtype(cfg.dtype))
+            self._mixer_kind = "hyena"
+
+    def _mix(self, h, deterministic, return_state):
+        if self._mixer_kind == "mamba":
+            return self.mixer(h, return_state=return_state)
+        if self._mixer_kind in ("attn", "hyena"):
+            out = self.mixer(h, deterministic=deterministic)
+        else:
+            out = self.mixer(h)
+        return (out, None) if return_state else out
+
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 return_state: bool = False):
+        cfg = self.cfg
+        h = self.mixer_ln(x).astype(x.dtype)
+        h = self._mix(h, deterministic, return_state)
+        state = None
+        if return_state:
+            h, state = h
         if cfg.dropout > 0.0:
-            h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+            h = self.drop(h, deterministic=deterministic)
         x = x + h
-        h = layer_norm(eps=cfg.norm_eps, name="mlp_ln")(x).astype(x.dtype)
-        h = Mlp(cfg.d_ff, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
-                dropout=cfg.dropout, name="mlp")(h, deterministic=deterministic)
+        h = self.mlp_ln(x).astype(x.dtype)
+        h = self.mlp(h, deterministic=deterministic)
         if cfg.dropout > 0.0:
-            h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
-        return x + h
+            h = self.drop(h, deterministic=deterministic)
+        out = x + h
+        if return_state:
+            return out, state
+        return out
+
+    def step(self, x_t: jax.Array, state):
+        """One-token recurrence (mamba mixer only). x_t [B, D]."""
+        if self._mixer_kind != "mamba":
+            raise NotImplementedError(
+                f"recurrent step unsupported for mixer {self._mixer_kind!r} "
+                "(the reference's Hyena recurrence also raises, "
+                "`hyena.py:432-434`)")
+        h = self.mixer_ln(x_t).astype(x_t.dtype)
+        h, state = self.mixer.step(h, state)
+        x_t = x_t + h
+        h = self.mlp_ln(x_t).astype(x_t.dtype)
+        h = self.mlp(h, deterministic=True)
+        return x_t + h, state
 
 
 class LMBackbone(nn.Module):
@@ -134,6 +178,27 @@ class LMBackbone(nn.Module):
             x = blk(x, deterministic=deterministic)
         return self.ln_f(x).astype(x.dtype)
 
+    def prefill(self, input_ids: jax.Array):
+        """Forward pass that also returns per-layer recurrent states (mamba
+        mixers) for O(1) stepping."""
+        x = self.embed(input_ids)
+        if self.learned_pos_emb:
+            x = x + self.pos_emb[None, : x.shape[1]].astype(x.dtype)
+        states = []
+        for blk in self.blocks:
+            x, st = blk(x, deterministic=True, return_state=True)
+            states.append(st)
+        return self.ln_f(x).astype(x.dtype), tuple(states)
+
+    def step(self, token: jax.Array, states):
+        """token [B] → (hidden [B, D], new states)."""
+        x = self.embed(token[:, None])[:, 0]
+        new_states = []
+        for blk, st in zip(self.blocks, states):
+            x, st = blk.step(x, st)
+            new_states.append(st)
+        return self.ln_f(x).astype(x.dtype), tuple(new_states)
+
 
 class LMHeadModel(nn.Module):
     """Backbone + tied LM head (reference `ConvLMHeadModel`,
@@ -156,6 +221,17 @@ class LMHeadModel(nn.Module):
         h = self.backbone(input_ids, deterministic=deterministic)
         logits = self.backbone.embed.attend(h)
         return nn.with_logical_constraint(logits, ("batch", "seq", "vocab"))
+
+    def prefill(self, input_ids: jax.Array):
+        """(logits [B, P, V], per-layer recurrent states) — for O(1)
+        autoregressive generation with mamba mixers."""
+        h, states = self.backbone.prefill(input_ids)
+        return self.backbone.embed.attend(h), states
+
+    def step(self, token: jax.Array, states):
+        """token [B] → (logits [B, V], new states)."""
+        h, states = self.backbone.step(token, states)
+        return self.backbone.embed.attend(h[:, None])[:, 0], states
 
 
 class DNAEmbeddingModel(nn.Module):

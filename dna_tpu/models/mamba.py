@@ -64,7 +64,12 @@ def _dt_init(rng, dt_rank, d_inner, dt_min=0.001, dt_max=0.1,
 
 class MambaCore(nn.Module):
     """Everything between in_proj and out_proj: conv, scan, gate.
-    Input (x, z) each [B, L, d_inner] → y [B, L, d_inner]."""
+    Input (x, z) each [B, L, d_inner] → y [B, L, d_inner].
+
+    `return_state=True` additionally returns the recurrent state
+    (conv window [B, d_conv, d_inner], ssm state [B, d_inner, N]) for O(1)
+    per-token stepping via `step` (reference `Mamba.step` backed by the
+    CUDA `selective_state_update`, `pyramid.py:236-277`)."""
 
     d_inner: int
     d_state: int = 16
@@ -73,19 +78,48 @@ class MambaCore(nn.Module):
     scan_chunk: int = 128
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, z: jax.Array) -> jax.Array:
+    def setup(self):
         di, N = self.d_inner, self.d_state
-
-        conv_w = self.param(
+        self.conv_w = self.param(
             "conv_w",
             nn.with_logical_partitioning(
                 nn.initializers.lecun_normal(), ("heads", None)),
             (di, self.d_conv), jnp.float32)
-        conv_b = self.param(
+        self.conv_b = self.param(
             "conv_b", nn.with_logical_partitioning(nn.initializers.zeros,
                                                    ("heads",)),
             (di,), jnp.float32)
+        self.dt_kernel = self.param(
+            "dt_kernel",
+            nn.with_logical_partitioning(
+                lambda r: _dt_init(r, self.dt_rank, di)[0], (None, "heads")),
+            )
+        self.dt_bias = self.param(
+            "dt_bias",
+            nn.with_logical_partitioning(
+                lambda r: _dt_init(r, self.dt_rank, di)[1], ("heads",)),
+            )
+        self.A_log = self.param(
+            "A_log",
+            nn.with_logical_partitioning(
+                lambda r: jnp.tile(jnp.log(jnp.arange(1, N + 1, dtype=jnp.float32)),
+                                   (di, 1)), ("heads", "state")),
+            )
+        self.ssm_D = self.param(
+            "ssm_D", nn.with_logical_partitioning(nn.initializers.ones,
+                                                  ("heads",)),
+            (di,), jnp.float32)
+        self.x_proj = dense(self.dt_rank + 2 * N, ("heads", "state"),
+                            use_bias=False, dtype=self.dtype, name="x_proj")
+
+    def __call__(self, x: jax.Array, z: jax.Array,
+                 return_state: bool = False):
+        di, N = self.d_inner, self.d_state
+        conv_w, conv_b, dt_kernel, dt_bias, A_log, ssm_D = (
+            self.conv_w, self.conv_b, self.dt_kernel, self.dt_bias,
+            self.A_log, self.ssm_D)
+
+        x_pre = x  # pre-conv activations (the conv window state)
         x = jax.lax.conv_general_dilated(
             x.astype(self.dtype), conv_w[:, None, :].astype(self.dtype),
             window_strides=(1,), padding=[(self.d_conv - 1, 0)],
@@ -93,42 +127,58 @@ class MambaCore(nn.Module):
         ) + conv_b.astype(self.dtype)
         x = jax.nn.silu(x)
 
-        x_dbl = dense(self.dt_rank + 2 * N, ("heads", "state"), use_bias=False,
-                      dtype=self.dtype, name="x_proj")(x)
+        x_dbl = self.x_proj(x)
         dt, B, C = jnp.split(x_dbl, [self.dt_rank, self.dt_rank + N], axis=-1)
-
-        dt_kernel = self.param(
-            "dt_kernel",
-            nn.with_logical_partitioning(
-                lambda r: _dt_init(r, self.dt_rank, di)[0], (None, "heads")),
-            )
-        dt_bias = self.param(
-            "dt_bias",
-            nn.with_logical_partitioning(
-                lambda r: _dt_init(r, self.dt_rank, di)[1], ("heads",)),
-            )
         dt = dt.astype(jnp.float32) @ dt_kernel  # [B, L, d_inner]
-
-        A_log = self.param(
-            "A_log",
-            nn.with_logical_partitioning(
-                lambda r: jnp.tile(jnp.log(jnp.arange(1, N + 1, dtype=jnp.float32)),
-                                   (di, 1)), ("heads", "state")),
-            )
-        ssm_D = self.param(
-            "ssm_D", nn.with_logical_partitioning(nn.initializers.ones,
-                                                  ("heads",)),
-            (di,), jnp.float32)
 
         A = -jnp.exp(A_log)
         y = selective_scan_auto(
             x, dt, A, B, C, D=ssm_D, z=z, delta_bias=dt_bias,
-            delta_softplus=True, chunk=self.scan_chunk)
+            delta_softplus=True, chunk=self.scan_chunk,
+            return_last_state=return_state)
+        if return_state:
+            y, ssm_state = y
+            L = x_pre.shape[1]
+            pad = max(self.d_conv - L, 0)
+            window = x_pre[:, max(L - self.d_conv, 0):].astype(jnp.float32)
+            if pad:
+                window = jnp.pad(window, ((0, 0), (pad, 0), (0, 0)))
+            return y.astype(self.dtype), (window, ssm_state)
         return y.astype(self.dtype)
+
+    def step(self, x_t: jax.Array, z_t: jax.Array, state):
+        """One recurrence step. x_t/z_t [B, d_inner]; state =
+        (conv_window [B, d_conv, d_inner], ssm_state [B, d_inner, N])."""
+        di, N = self.d_inner, self.d_state
+        conv_w, conv_b, dt_kernel, dt_bias, A_log, ssm_D = (
+            self.conv_w, self.conv_b, self.dt_kernel, self.dt_bias,
+            self.A_log, self.ssm_D)
+        window, ssm_state = state
+
+        window = jnp.concatenate(
+            [window[:, 1:], x_t.astype(jnp.float32)[:, None]], axis=1)
+        x = jnp.einsum("bkd,dk->bd", window, conv_w) + conv_b
+        x = jax.nn.silu(x).astype(self.dtype)
+
+        x_dbl = self.x_proj(x)
+        dt, B, C = jnp.split(x_dbl, [self.dt_rank, self.dt_rank + N], axis=-1)
+        dt = jax.nn.softplus(dt.astype(jnp.float32) @ dt_kernel + dt_bias)
+
+        A = -jnp.exp(A_log)                                   # [di, N]
+        dA = jnp.exp(dt[:, :, None] * A[None])                # [B, di, N]
+        dBx = (dt * x.astype(jnp.float32))[:, :, None] * \
+            B.astype(jnp.float32)[:, None, :]
+        ssm_state = ssm_state * dA + dBx
+        y = jnp.einsum("bdn,bn->bd", ssm_state, C.astype(jnp.float32))
+        y = y + x.astype(jnp.float32) * ssm_D
+        y = y * jax.nn.silu(z_t.astype(jnp.float32))
+        return y.astype(self.dtype), (window, ssm_state)
 
 
 class Mamba(nn.Module):
-    """Full Mamba layer [B, L, D] → [B, L, D]."""
+    """Full Mamba layer [B, L, D] → [B, L, D]. `step` runs one token in O(1)
+    given the (conv window, ssm) state (reference `Mamba.step`,
+    `pyramid.py:236-277`)."""
 
     d_model: int
     d_state: int = 16
@@ -137,17 +187,32 @@ class Mamba(nn.Module):
     scan_chunk: int = 128
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, u: jax.Array) -> jax.Array:
+    def setup(self):
         di = self.expand * self.d_model
         dt_rank = math.ceil(self.d_model / 16)
-        xz = dense(2 * di, ("embed", "heads"), use_bias=False,
-                   dtype=self.dtype, name="in_proj")(u)
+        self.in_proj = dense(2 * di, ("embed", "heads"), use_bias=False,
+                             dtype=self.dtype, name="in_proj")
+        self.core = MambaCore(di, self.d_state, self.d_conv, dt_rank,
+                              self.scan_chunk, self.dtype, name="core")
+        self.out_proj = dense(self.d_model, ("heads", "embed"),
+                              use_bias=False, dtype=self.dtype,
+                              name="out_proj")
+
+    def __call__(self, u: jax.Array, return_state: bool = False):
+        xz = self.in_proj(u)
         x, z = jnp.split(xz, 2, axis=-1)
-        y = MambaCore(di, self.d_state, self.d_conv, dt_rank,
-                      self.scan_chunk, self.dtype, name="core")(x, z)
-        return dense(self.d_model, ("heads", "embed"), use_bias=False,
-                     dtype=self.dtype, name="out_proj")(y)
+        y = self.core(x, z, return_state=return_state)
+        if return_state:
+            y, state = y
+            return self.out_proj(y), state
+        return self.out_proj(y)
+
+    def step(self, u_t: jax.Array, state):
+        """u_t [B, D] → (y_t [B, D], new state)."""
+        xz = self.in_proj(u_t)
+        x, z = jnp.split(xz, 2, axis=-1)
+        y, state = self.core.step(x, z, state)
+        return self.out_proj(y), state
 
 
 class BiMambaWrapper(nn.Module):

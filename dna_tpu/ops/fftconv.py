@@ -143,9 +143,13 @@ def _blocked_bwd(fft_size, res, dy):
 
 _causal_fftconv_blocked.defvjp(_blocked_fwd, _blocked_bwd)
 
-# sequence length at/above which the blocked decomposition replaces the
-# monolithic XLA FFT (64k: where remote compile becomes infeasible)
-BLOCKED_FFT_MIN_LEN = 65536
+# Measured on v5e (2026-08-18): the full hg38_hyena train step at L=65536
+# compiles in 46 s with the monolithic XLA FFT and runs at 197k tok/s; the
+# blocked decomposition's op blow-up made *compile* exceed 560 s. The
+# round-1 "L=64k compile exceeds the tunnel budget" was a degraded-tunnel
+# artifact. Keep the blocked path opt-in (DNA_TPU_FFT_IMPL=blocked) for
+# environments where giant monolithic FFTs do regress.
+BLOCKED_FFT_MIN_LEN = 1 << 62
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -155,8 +155,7 @@ def selective_scan_auto(
 
     impl = _os.environ.get("DNA_TPU_SCAN_IMPL", "auto")
     use_pallas = (impl == "pallas") or (
-        impl == "auto" and jax.default_backend() == "tpu"
-        and not return_last_state)
+        impl == "auto" and jax.default_backend() == "tpu")
     if impl in ("auto", "pallas") and not return_last_state:
         # Context parallelism active? The kernel must be shard_mapped over
         # the sp axis (XLA replicates custom calls along sharded dims).
@@ -175,7 +174,8 @@ def selective_scan_auto(
 
         return selective_scan_pallas(
             u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
-            delta_softplus=delta_softplus)
+            delta_softplus=delta_softplus,
+            return_last_state=return_last_state)
     return selective_scan(
         u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
         delta_softplus=delta_softplus, return_last_state=return_last_state,
