@@ -169,9 +169,17 @@ class LMBackbone(nn.Module):
             for i in range(cfg.n_layers)]
         self.ln_f = layer_norm(eps=cfg.norm_eps)
 
-    def __call__(self, input_ids: jax.Array, *, deterministic: bool = True
-                 ) -> jax.Array:
+    def __call__(self, input_ids: jax.Array, *, deterministic: bool = True,
+                 soft_prefix: Optional[jax.Array] = None) -> jax.Array:
         x = self.embed(input_ids)
+        if soft_prefix is not None:
+            # soft-prompt tuning: trainable continuous tokens prepended to
+            # the embedded sequence (reference capability declared by
+            # `configs/evals/soft_prompting_genomics.yaml`)
+            prefix = jnp.broadcast_to(
+                soft_prefix.astype(x.dtype)[None],
+                (x.shape[0], *soft_prefix.shape))
+            x = jnp.concatenate([prefix, x], axis=1)
         if self.learned_pos_emb:
             x = x + self.pos_emb[None, : x.shape[1]].astype(x.dtype)
         for blk in self.blocks:
@@ -216,9 +224,13 @@ class LMHeadModel(nn.Module):
 
     def __call__(self, input_ids: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
-                 *, deterministic: bool = True) -> jax.Array:
+                 *, deterministic: bool = True,
+                 soft_prefix: Optional[jax.Array] = None) -> jax.Array:
         del attention_mask  # causal LM pretraining uses packed full windows
-        h = self.backbone(input_ids, deterministic=deterministic)
+        h = self.backbone(input_ids, deterministic=deterministic,
+                          soft_prefix=soft_prefix)
+        if soft_prefix is not None:
+            h = h[:, soft_prefix.shape[0]:]  # logits for real positions only
         logits = self.backbone.embed.attend(h)
         return nn.with_logical_constraint(logits, ("batch", "seq", "vocab"))
 
