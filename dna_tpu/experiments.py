@@ -40,10 +40,13 @@ def dnabert2_pretrain() -> ExperimentConfig:
         # mlm_gather: masked-token-only LM head, like the reference's
         # masked-only prediction_scores (`bert_layers.py:817-833`) — cuts the
         # head matmul + fp32 CE to the gathered positions (measured +2%
-        # tokens/sec at S=128; budget 0.25 ≫ the 0.15 mask rate)
+        # tokens/sec at S=128). Budget 0.375 = 48 positions at S=128: the
+        # per-token Bernoulli(0.15) mask makes a row's count Binomial(128,
+        # 0.15) (mean 19.2, sd 4.0), so 48 is a ~7σ bound — overflow
+        # (silently dropped positions) is ~1e-12 per row.
         model=ModelConfig(name="dnabert2", vocab_size=4096, d_model=768,
                           n_layers=12, n_heads=12, d_ff=3072, alibi=True,
-                          mlm_gather=0.25),
+                          mlm_gather=0.375),
         data=DataConfig(dataset="synthetic_mlm", tokenizer="bpe", max_length=128,
                         batch_size=512, mlm_probability=0.15),
         task=TaskConfig(name="mlm"),

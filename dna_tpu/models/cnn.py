@@ -167,10 +167,11 @@ class DenoiseCNN(nn.Module):
             g = jax.nn.sigmoid(rc_h) if self.forget else nn.gelu(rc_h)
             feat = h * g + feat if self.forget else h + g + feat
             rc_feat = g + rc_feat
+        # final linear back to hidden_dim on the forward branch only
+        # (`denoise.py:645` applies self.ll to feat; rc_feat is not consumed
+        # downstream in this mode)
         feat = dense(self.hidden_dim, ("embed", "conv_ch"), dtype=self.dtype,
                      name="cx_ll")(feat)
-        rc_feat = dense(self.hidden_dim, ("embed", "conv_ch"),
-                        dtype=self.dtype, name="cx_rc_ll")(rc_feat)
         return feat, rc_feat
 
     @nn.compact

@@ -189,9 +189,12 @@ class LMBackbone(nn.Module):
     def prefill(self, input_ids: jax.Array):
         """Forward pass that also returns per-layer recurrent states (mamba
         mixers) for O(1) stepping."""
-        x = self.embed(input_ids)
         if self.learned_pos_emb:
-            x = x + self.pos_emb[None, : x.shape[1]].astype(x.dtype)
+            # step() has no position index, so a learned pos-emb model would
+            # silently diverge from the full forward — refuse instead
+            raise NotImplementedError(
+                "recurrent prefill/step unsupported with learned_pos_emb")
+        x = self.embed(input_ids)
         states = []
         for blk in self.blocks:
             x, st = blk(x, deterministic=True, return_state=True)

@@ -56,10 +56,19 @@ def multihead_attention(
     if impl == "flash":
         try:
             from dna_tpu.ops.flash_attention import (
-                context_parallel_flash_attention, flash_attention)
+                context_parallel_flash_attention, flash_attention,
+                ring_flash_attention)
 
             if sp_mesh is not None:
-                return context_parallel_flash_attention(
+                import os as _os
+
+                # gather: all-gather K/V once (fewest collectives; peak
+                # memory O(S)); ring: ppermute chunks (memory O(S/sp) —
+                # for when the gathered K/V wouldn't fit)
+                comm = _os.environ.get("DNA_TPU_CP_ATTN", "gather")
+                cp = (ring_flash_attention if comm == "ring"
+                      else context_parallel_flash_attention)
+                return cp(
                     q, k, v, sp_mesh, attention_mask=attention_mask,
                     alibi=alibi, causal=causal, softmax_scale=softmax_scale)
             return flash_attention(

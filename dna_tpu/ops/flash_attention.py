@@ -42,12 +42,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _bias_tile(slope, qi, kj, bq, bk, causal, alibi, mask_tile, q_off=0):
+def _bias_tile(slope, qi, kj, bq, bk, causal, alibi, mask_tile, q_off=0,
+               k_off=0):
     """fp32 additive bias for the (qi, kj) tile: ALiBi + pad mask + causal.
-    `q_off` shifts q rows to *global* positions when q is a context-parallel
-    shard of the sequence (k/v are always globally indexed)."""
+    `q_off`/`k_off` shift rows/cols to *global* positions when q and/or k/v
+    are context-parallel shards of the sequence."""
     rows = q_off + qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-    cols = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    cols = k_off + kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     bias = jnp.zeros((bq, bk), jnp.float32)
     if alibi:
         bias = bias - slope * jnp.abs(rows - cols).astype(jnp.float32)
@@ -66,12 +67,15 @@ def _fwd_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
     qi = pl.program_id(2)
     slope = slope_ref[pl.program_id(1)]
     q_off = qoff_ref[0]
+    k_off = qoff_ref[1]
 
     q = q_ref[0, 0]  # [Bq, D]
     nk = seq_len // block_k
     if causal:
-        # only iterate up to the diagonal block (global q row index)
-        nk_run = jnp.minimum(nk, (q_off + (qi + 1) * bq) // block_k + 1)
+        # only iterate k blocks whose global col start is <= the last global
+        # q row of this tile
+        last_row = q_off + (qi + 1) * bq - 1
+        nk_run = jnp.clip((last_row - k_off) // block_k + 1, 0, nk)
     else:
         nk_run = nk
 
@@ -86,7 +90,7 @@ def _fwd_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
         if mask_ref is not None:
             mask_tile = mask_ref[0, pl.ds(j * block_k, block_k)]
         s = s + _bias_tile(slope, qi, j, bq, block_k, causal, alibi, mask_tile,
-                           q_off)
+                           q_off, k_off)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -113,14 +117,15 @@ def _bwd_dq_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     qi = pl.program_id(2)
     slope = slope_ref[pl.program_id(1)]
     q_off = qoff_ref[0]
+    k_off = qoff_ref[1]
     q = q_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)
     lse = lse_ref[0, 0]      # [Bq, 1]
     delta = delta_ref[0, 0]  # [Bq, 1]
 
     nk = seq_len // block_k
-    nk_run = (jnp.minimum(nk, (q_off + (qi + 1) * bq) // block_k + 1)
-              if causal else nk)
+    nk_run = (jnp.clip((q_off + (qi + 1) * bq - 1 - k_off) // block_k + 1,
+                       0, nk) if causal else nk)
 
     def body(j, dq):
         kb = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
@@ -131,7 +136,7 @@ def _bwd_dq_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
         if mask_ref is not None:
             mask_tile = mask_ref[0, pl.ds(j * block_k, block_k)]
         s = s + _bias_tile(slope, qi, j, bq, block_k, causal, alibi, mask_tile,
-                           q_off)
+                           q_off, k_off)
         p = jnp.exp(s - lse)  # [Bq, Bk]
         dp = jax.lax.dot_general(do, vb.astype(jnp.float32),
                                  (((1,), (1,)), ((), ())),
@@ -155,6 +160,7 @@ def _bwd_dkv_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref,
     kj = pl.program_id(2)
     slope = slope_ref[pl.program_id(1)]
     q_off = qoff_ref[0]
+    k_off = qoff_ref[1]
     kb = k_ref[0, 0]  # [Bk, D]
     vb = v_ref[0, 0]
     mask_tile = mask_ref[0, :] if mask_ref is not None else None
@@ -162,7 +168,8 @@ def _bwd_dkv_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref,
     nq = q_len // block_q
     # causal: q blocks whose global rows end before this k block start
     # contribute nothing
-    q_start = (jnp.maximum(kj * bk - q_off, 0) // block_q) if causal else 0
+    q_start = (jnp.minimum(jnp.maximum(k_off + kj * bk - q_off, 0)
+                           // block_q, nq) if causal else 0)
 
     def body(i, carry):
         dk, dv = carry
@@ -173,7 +180,7 @@ def _bwd_dkv_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref,
         s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + _bias_tile(slope, i, kj, block_q, bk, causal, alibi, mask_tile,
-                           q_off)
+                           q_off, k_off)
         p = jnp.exp(s - lse)  # [Bq, Bk]
         dv = dv + jax.lax.dot_general(p, dob, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -247,12 +254,15 @@ def _mask_none_wrapper(kernel, mask_pos, *refs, **kw):
 
 
 def _bwd_impl(q, k, v, mask, slopes, q_offset, o, lse, do, *, causal, alibi,
-              scale):
+              scale, dlse=None):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     bq, bk = _choose_blocks(Sq, Sk)
     delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
                     keepdims=True)  # [B, H, Sq, 1]
+    if dlse is not None:
+        # lse cotangent folds into delta: ds = p·(dp − delta + dlse)
+        delta = delta - dlse.astype(jnp.float32)
 
     kv_full = pl.BlockSpec((1, 1, Sk, D), lambda b, h, i, *_: (b, h, 0, 0))
     q_full = pl.BlockSpec((1, 1, Sq, D), lambda b, h, i, *_: (b, h, 0, 0))
@@ -333,6 +343,118 @@ def _flash_bwd(causal, alibi, scale, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# (o, lse)-returning variant — the building block for ring attention.
+#
+# Exposing lse lets partial attentions over K/V *chunks* be merged in plain
+# (differentiable) JAX: o = Σ_c o_c·exp(lse_c − lse) with lse = logsumexp_c.
+# The only extra autodiff plumbing is the lse cotangent: for
+# L = f(o, lse), dL/ds_ij = p_ij·(dp_ij − delta_i + dlse_i), so the bwd
+# kernels are reused verbatim with delta := rowsum(o∘do) − dlse.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _flash_lse(q, k, v, mask, slopes, offsets, causal, alibi, scale):
+    return _fwd_impl(q, k, v, mask, slopes, offsets, causal=causal,
+                     alibi=alibi, scale=scale)
+
+
+def _flash_lse_fwd(q, k, v, mask, slopes, offsets, causal, alibi, scale):
+    o, lse = _fwd_impl(q, k, v, mask, slopes, offsets, causal=causal,
+                       alibi=alibi, scale=scale)
+    return (o, lse), (q, k, v, mask, slopes, offsets, o, lse)
+
+
+def _flash_lse_bwd(causal, alibi, scale, res, cts):
+    do, dlse = cts
+    q, k, v, mask, slopes, offsets, o, lse = res
+    dq, dk, dv = _bwd_impl(q, k, v, mask, slopes, offsets, o, lse, do,
+                           causal=causal, alibi=alibi, scale=scale,
+                           dlse=dlse)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (dq, dk, dv, dmask, jnp.zeros_like(slopes),
+            jnp.zeros_like(offsets))
+
+
+_flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
+def ring_flash_attention(
+    q: jax.Array,  # [B, S, H, D] — S sharded over `sp_axis`
+    k: jax.Array,
+    v: jax.Array,
+    mesh,
+    *,
+    attention_mask: Optional[jax.Array] = None,
+    alibi: bool = False,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    sp_axis: str = "sp",
+    batch_axes=("dp", "fsdp"),
+    head_axis: str = "tp",
+) -> jax.Array:
+    """Ring attention over the sp axis: K/V chunks rotate around the ring via
+    ppermute while each shard accumulates its partial attention, merged by
+    the (o, lse) online-softmax rule. Memory stays O(S/sp) per chip (the
+    all-gather variant peaks at O(S)); autodiff runs through the plain-JAX
+    merge, the ppermutes, and the `_flash_lse` custom_vjp per chunk."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P_
+
+    B, S, H, D = q.shape
+    sp = mesh.shape[sp_axis]
+    if (S // sp) % 128 != 0:
+        raise ValueError(f"local length {S}/{sp} must be a multiple of 128")
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    slopes = alibi_slopes(H) if alibi else jnp.zeros((H,), jnp.float32)
+    qkv_spec = P_(tuple(batch_axes), sp_axis, head_axis, None)
+    args = [q, k, v, slopes]
+    in_specs = [qkv_spec, qkv_spec, qkv_spec, P_(head_axis)]
+    if attention_mask is not None:
+        args.append(attention_mask.astype(jnp.int32))
+        in_specs.append(P_(tuple(batch_axes), sp_axis))
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+    def local(qs, ks, vs, sl, *rest):
+        ms = rest[0] if rest else None
+        S_loc = qs.shape[1]
+        idx = jax.lax.axis_index(sp_axis)
+        q_off = (idx * S_loc).astype(jnp.int32)
+        qt = qs.swapaxes(1, 2)
+        o_acc = None
+        lse_acc = None
+        kt, vt = ks.swapaxes(1, 2), vs.swapaxes(1, 2)
+        mt = ms
+        for step in range(sp):
+            # after `step` rotations we hold the chunk of shard (idx - step)
+            src = (idx - step) % sp
+            k_off = (src * S_loc).astype(jnp.int32)
+            offsets = jnp.stack([q_off, k_off])
+            o_p, lse_p = _flash_lse(qt, kt, vt, mt, sl, offsets, causal,
+                                    alibi, scale)
+            if o_acc is None:
+                o_acc, lse_acc = o_p.astype(jnp.float32), lse_p
+            else:
+                lse_new = jnp.logaddexp(lse_acc, lse_p)
+                # fully-masked rows have lse = -inf on both sides
+                lse_safe = jnp.where(jnp.isinf(lse_new), 0.0, lse_new)
+                w_a = jnp.exp(lse_acc - lse_safe)
+                w_p = jnp.exp(lse_p - lse_safe)
+                o_acc = o_acc * w_a + o_p.astype(jnp.float32) * w_p
+                lse_acc = lse_new
+            if step + 1 < sp:
+                kt = jax.lax.ppermute(kt, sp_axis, perm)
+                vt = jax.lax.ppermute(vt, sp_axis, perm)
+                if mt is not None:
+                    mt = jax.lax.ppermute(mt, sp_axis, perm)
+        return o_acc.astype(qs.dtype).swapaxes(1, 2)
+
+    fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=qkv_spec, check_vma=False)
+    return fn(*args)
+
+
 def context_parallel_flash_attention(
     q: jax.Array,  # [B, S, H, D] — S sharded over `sp_axis`
     k: jax.Array,
@@ -381,8 +503,9 @@ def context_parallel_flash_attention(
         mg = (jax.lax.all_gather(ms, sp_axis, axis=1, tiled=True)
               if ms is not None else None)
         off = (jax.lax.axis_index(sp_axis) * qs.shape[1]).astype(jnp.int32)
+        offsets = jnp.stack([off, jnp.int32(0)])
         qt, kt, vt = (x.swapaxes(1, 2) for x in (qs, kg, vg))
-        o = _flash(qt, kt, vt, mg, sl, off.reshape(1), causal, alibi, scale)
+        o = _flash(qt, kt, vt, mg, sl, offsets, causal, alibi, scale)
         return o.swapaxes(1, 2)
 
     fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
@@ -412,8 +535,9 @@ def flash_attention(
     if attention_mask is not None:
         mask = attention_mask.astype(jnp.int32)
     if q_offset is None:
-        q_offset = jnp.zeros((1,), jnp.int32)
+        offsets = jnp.zeros((2,), jnp.int32)
     else:
-        q_offset = jnp.asarray(q_offset, jnp.int32).reshape((1,))
-    o = _flash(qt, kt, vt, mask, slopes, q_offset, causal, alibi, scale)
+        offsets = jnp.stack([jnp.asarray(q_offset, jnp.int32).reshape(()),
+                             jnp.int32(0)])
+    o = _flash(qt, kt, vt, mask, slopes, offsets, causal, alibi, scale)
     return o.swapaxes(1, 2)

@@ -116,15 +116,20 @@ class TransformLoader:
 
 
 def subsample_batch(batch: Dict[str, Any], resolution: int) -> Dict[str, Any]:
-    """Stride-subsample every [B, L] sequence field (reference
+    """Stride-subsample the [B, L] *sequence* fields (reference
     `SequenceResolutionCollateMixin._collate_callback`: take every
-    `resolution`-th element)."""
+    `resolution`-th element). Non-sequence 2-D fields (e.g. [B, n_targets]
+    regression labels) must not be touched — only input_ids/attention_mask,
+    and labels only when they are per-position (same length as input_ids)."""
     if resolution <= 1:
         return batch
+    seq_len = np.asarray(batch["input_ids"]).shape[1]
     out = {}
     for k, v in batch.items():
         arr = np.asarray(v)
-        out[k] = arr[:, ::resolution] if arr.ndim >= 2 else arr
+        is_seq = (arr.ndim >= 2 and arr.shape[1] == seq_len and
+                  k in ("input_ids", "attention_mask", "labels"))
+        out[k] = arr[:, ::resolution] if is_seq else arr
     return out
 
 
@@ -218,11 +223,24 @@ class TrainLoop:
             loader: Optional[ShardedLoader] = None) -> LoopResult:
         cfg = self.cfg
         steps = steps if steps is not None else cfg.train.steps
-        if cfg.train.debug:
-            steps = min(steps, int(self.state.step) + cfg.train.debug_steps)
         if loader is None:
             loader = ShardedLoader(self.exp.dataset, cfg.data.batch_size,
                                    seed=cfg.data.seed)
+
+        # resume FIRST: the debug step cap and the val-at-start pass must see
+        # the restored state, not the fresh init
+        if self.ckpt and cfg.train.resume and self.ckpt.latest_step() is not None:
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=x.sharding),
+                self.state)
+            self.state, loader_state, _ = self.ckpt.restore(abstract)
+            if loader_state is not None:
+                loader.state = loader_state
+            self._log(f"resumed from step {int(self.state.step)}")
+
+        if cfg.train.debug:
+            steps = min(steps, int(self.state.step) + cfg.train.debug_steps)
 
         startup_evals: List[Dict[str, float]] = []
         if cfg.train.validate_at_start or cfg.train.debug:
@@ -233,17 +251,6 @@ class TrainLoop:
                 startup_evals.append(ev)
                 self._log("val@start: " + ", ".join(
                     f"{k}={v:.4f}" for k, v in ev.items() if k != "step"))
-
-        # resume
-        if self.ckpt and cfg.train.resume and self.ckpt.latest_step() is not None:
-            abstract = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                               sharding=x.sharding),
-                self.state)
-            self.state, loader_state, _ = self.ckpt.restore(abstract)
-            if loader_state is not None:
-                loader.state = loader_state
-            self._log(f"resumed from step {int(self.state.step)}")
 
         best = None
         history: List[Dict[str, float]] = list(startup_evals)

@@ -24,9 +24,8 @@ import numpy as np
 import optax
 
 
-def _episode_batches(dataset, batch_size: int, steps: int, seed: int = 0):
-    """Cycle a (small) episode dataset into fixed-size batches."""
-    rng = np.random.default_rng(seed)
+def _episode_arrays(dataset):
+    """Materialize an episode dataset as (ids [N, L] left-padded, labels)."""
     n = len(dataset)
     items = [dataset[i] for i in range(n)]
     L = max(len(np.asarray(it["input_ids"])) for it in items)
@@ -36,6 +35,15 @@ def _episode_batches(dataset, batch_size: int, steps: int, seed: int = 0):
         ids[i, -len(row):] = row  # left-pad: final position stays the query
     labels = np.asarray([int(np.asarray(it["labels"])) for it in items],
                         np.int32)
+    return ids, labels
+
+
+def _episode_batches(dataset, batch_size: int, steps: int, seed: int = 0):
+    """Cycle a (small) episode dataset into fixed-size random batches
+    (training sampler)."""
+    rng = np.random.default_rng(seed)
+    ids, labels = _episode_arrays(dataset)
+    n = len(labels)
     for _ in range(steps):
         take = rng.choice(n, size=min(batch_size, n), replace=n < batch_size)
         yield jnp.asarray(ids[take]), jnp.asarray(labels[take])
@@ -121,16 +129,16 @@ def soft_prompt_eval(model, params, train_episodes, eval_episodes, *,
             model, params, train_episodes, label_token_ids=label_token_ids,
             n_soft=n_soft, steps=steps, batch_size=batch_size, lr=lr,
             seed=seed)
-        correct = total = 0
+        # one deterministic pass over every eval episode exactly once
+        ids_all, labels_all = _episode_arrays(eval_episodes)
         lab_ids = np.asarray(list(label_token_ids))
-        for ids, labels in _episode_batches(eval_episodes, batch_size,
-                                            max(1, len(eval_episodes)
-                                                // batch_size), seed + 1):
-            pred = np.asarray(tuned["predict"](ids))
-            y = np.argmax(np.asarray(labels)[:, None] == lab_ids[None, :], 1)
-            correct += int((pred == y).sum())
-            total += len(pred)
-        results[n_soft] = correct / max(total, 1)
+        y_all = np.argmax(labels_all[:, None] == lab_ids[None, :], axis=1)
+        correct = 0
+        for lo in range(0, len(y_all), batch_size):
+            chunk = jnp.asarray(ids_all[lo:lo + batch_size])
+            pred = np.asarray(tuned["predict"](chunk))
+            correct += int((pred == y_all[lo:lo + batch_size]).sum())
+        results[n_soft] = correct / max(len(y_all), 1)
     return results
 
 
