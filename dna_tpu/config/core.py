@@ -175,6 +175,9 @@ class ModelConfig:
     use_flash: bool = True
     rotary: bool = False
     alibi: bool = True
+    # CoPE contextual position embedding (NTv2 fork experiment,
+    # `modeling_esm.py:93-160`); XLA path only (needs the full score matrix)
+    cope: bool = False
     # Masked-position-only MLM head (reference masked-token-only prediction,
     # `bert_layers.py:817-833`): gather this fraction of positions before the
     # LM head + CE; 0 = full-length head.

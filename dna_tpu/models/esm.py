@@ -75,6 +75,35 @@ class LearnedRotary(nn.Module):
         return rot(q), rot(k)
 
 
+class CoPE(nn.Module):
+    """Contextual Position Embedding (reference `CoPE`,
+    `modeling_esm.py:93-117` — the fork's experiment): soft positions are
+    reverse-cumulative sigmoid gates of the attention logits, and a learned
+    per-(head_dim, position) table is interpolated at those fractional
+    positions to produce an additive score term."""
+
+    npos_max: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, query: jax.Array, attn_logits: jax.Array) -> jax.Array:
+        # query [B, H, S, D]; attn_logits [B, H, S, S] (fp32)
+        pos_emb = self.param(
+            "pos_emb", nn.initializers.normal(0.01),
+            (self.head_dim, self.npos_max), jnp.float32)
+        gates = jax.nn.sigmoid(attn_logits)
+        pos = jnp.flip(jnp.cumsum(jnp.flip(gates, -1), axis=-1), -1)
+        pos = jnp.clip(pos, max=self.npos_max - 1)
+        logits_int = jnp.einsum("bhsd,dp->bhsp",
+                                query.astype(jnp.float32), pos_emb)
+        pos_ceil = jnp.ceil(pos).astype(jnp.int32)
+        pos_floor = jnp.floor(pos).astype(jnp.int32)
+        logits_ceil = jnp.take_along_axis(logits_int, pos_ceil, axis=-1)
+        logits_floor = jnp.take_along_axis(logits_int, pos_floor, axis=-1)
+        w = pos - pos_floor
+        return logits_ceil * w + logits_floor * (1 - w)
+
+
 class EsmSelfAttention(nn.Module):
     cfg: ModelConfig
 
@@ -91,6 +120,24 @@ class EsmSelfAttention(nn.Module):
         v = dense(cfg.d_model, ("embed", "heads"), dtype=dtype, name="value")(x)
         shape = (x.shape[0], x.shape[1], H, D)
         q, k, v = (t.reshape(shape) for t in (q, k, v))
+        if cfg.cope:
+            # CoPE needs the full score matrix (reference `CoPEAttention`,
+            # `modeling_esm.py:118-160`) — computed inline on the XLA path
+            qt, kt, vt = (t.swapaxes(1, 2) for t in (q, k, v))  # [B,H,S,D]
+            scores = jnp.einsum("bhsd,bhtd->bhst", qt, kt,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(D))
+            # mask BEFORE cope: gates of masked keys go to ~0, so they do
+            # not advance the contextual position count (`:146-150`)
+            if attention_mask is not None:
+                scores = scores + padding_bias(attention_mask)
+            scores = scores + CoPE(cfg.max_len, D, name="cope")(qt, scores)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhst,bhtd->bshd", probs.astype(dtype), vt)
+            out = out.reshape(x.shape[0], x.shape[1], cfg.d_model)
+            out = dense(cfg.d_model, ("heads", "embed"), dtype=dtype,
+                        name="out")(out)
+            return (out, probs) if output_attentions else out
         if cfg.rotary:
             q, k = LearnedRotary(D, H, name="rotary")(q, k)
         probs = None
