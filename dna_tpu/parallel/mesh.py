@@ -106,6 +106,7 @@ def ambient_mesh(axis: Optional[str] = None, min_size: int = 2) -> Optional[Mesh
     custom calls along sharded dims instead of partitioning them.
     """
     try:
+        from jax._src.core import get_axis_env
         from jax._src.mesh import thread_resources
 
         mesh = thread_resources.env.physical_mesh
@@ -116,6 +117,14 @@ def ambient_mesh(axis: Optional[str] = None, min_size: int = 2) -> Optional[Mesh
     if axis is not None and (axis not in mesh.axis_names or
                              mesh.shape[axis] < min_size):
         return None
+    try:
+        # already inside a shard_map body (e.g. the gpipe pp executor):
+        # per-device code must not start another shard_map — the caller
+        # should use its local/unwrapped path
+        if any(get_axis_env().axis_exists(a) for a in mesh.axis_names):
+            return None
+    except Exception:
+        pass
     return mesh
 
 
