@@ -34,7 +34,15 @@ def dense(features: int, axes: Tuple[str, str], *, use_bias: bool = True,
 
 
 def layer_norm(*, eps: float = 1e-12, dtype=jnp.float32, name=None) -> nn.LayerNorm:
-    # Norms run in fp32; scale/bias replicated.
+    # Statistics are always fp32 (flax upcasts stats internally); `dtype`
+    # only sets the output dtype. DNA_TPU_LN_DTYPE=bfloat16 emits bf16
+    # activations directly, removing a [B,S,D] fp32 fusion boundary per norm
+    # (the callers' astype becomes a no-op).
+    import os as _os
+
+    env = _os.environ.get("DNA_TPU_LN_DTYPE")
+    if env:
+        dtype = jnp.dtype(env)
     return nn.LayerNorm(
         epsilon=eps, dtype=dtype, param_dtype=jnp.float32,
         scale_init=nn.with_logical_partitioning(nn.initializers.ones, ("act_embed",)),
