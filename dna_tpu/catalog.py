@@ -32,7 +32,7 @@ from dna_tpu.data.genomics import GB_TASKS, NT_TASKS
 
 
 def _hg38_data(max_length=1024, batch=256):
-    return DataConfig(dataset="synthetic_lm", tokenizer="char",
+    return DataConfig(dataset="hg38", tokenizer="char",
                       max_length=max_length, batch_size=batch)
 
 
@@ -68,7 +68,7 @@ def hg38_bert() -> ExperimentConfig:
         name="hg38_bert",
         model=ModelConfig(name="hyena_blm", d_model=256, n_layers=4,
                           d_ff=1024, max_len=1024),
-        data=DataConfig(dataset="synthetic_mlm", tokenizer="char",
+        data=DataConfig(dataset="bert_hg38", tokenizer="char",
                         max_length=1024, batch_size=128),
         task=TaskConfig(name="mlm"),
         optimizer=OptimizerConfig(name="adamw", lr=6e-4, weight_decay=0.1),
@@ -126,6 +126,27 @@ for _size in _NTV2_SIZES:
         (lambda s: (lambda: _ntv2_pretrain(s)))(_size))
 
 
+@registry.experiment.register("nt_v1_pretrain")
+def nt_v1_pretrain() -> ExperimentConfig:
+    """NT-v1 (reference torch port `src/models/sequence/nt.py`): ESM encoder
+    with *learned* positional embeddings (`nt.py:598-627`) and TokensDropout
+    (`nt.py:629-670`) instead of NTv2's rotary; 500M layout."""
+    return ExperimentConfig(
+        name="nt_v1_pretrain",
+        model=ModelConfig(name="ntv2", vocab_size=4107, rotary=False,
+                          alibi=False, learned_pos_emb=True,
+                          token_dropout=True, max_len=1024, remat=True,
+                          d_model=1280, n_layers=24, n_heads=20, d_ff=5120),
+        data=DataConfig(dataset="synthetic_mlm", tokenizer="kmer",
+                        max_length=128, batch_size=512),
+        task=TaskConfig(name="mlm"),
+        optimizer=OptimizerConfig(name="adamw", lr=1e-4, weight_decay=1e-5),
+        scheduler=SchedulerConfig(name="cosine_warmup", warmup_steps=16_000,
+                                  total_steps=1_000_000),
+        train=TrainConfig(steps=1000),
+    )
+
+
 # --------------------------------------------------------------------------
 # Finetuning suites
 # --------------------------------------------------------------------------
@@ -133,12 +154,15 @@ for _size in _NTV2_SIZES:
 
 def _finetune_base(name, model: ModelConfig, n_classes: int, max_length: int,
                    task: str = "multiclass", batch: int = 128,
-                   lr: float = 6e-4, steps: int = 2000) -> ExperimentConfig:
+                   lr: float = 6e-4, steps: int = 2000,
+                   dataset: str = "synthetic_cls", tokenizer: str = "char",
+                   n_targets=None) -> ExperimentConfig:
     return ExperimentConfig(
         name=name,
         model=replace(model, n_classes=n_classes),
-        data=DataConfig(dataset="synthetic_cls", tokenizer="char",
-                        max_length=max_length, batch_size=batch),
+        data=DataConfig(dataset=dataset, tokenizer=tokenizer,
+                        max_length=max_length, batch_size=batch,
+                        n_targets=n_targets),
         task=TaskConfig(name=task),
         optimizer=OptimizerConfig(name="adamw", lr=lr, weight_decay=1e-5),
         scheduler=SchedulerConfig(name="cosine_warmup", warmup_steps=100,
@@ -161,7 +185,8 @@ def nt_caduceus() -> ExperimentConfig:
     task with data.dataset_name (H4, H4ac, promoter_all, …)."""
     card = NT_TASKS["H4"]
     cfg = _finetune_base("nt_caduceus", _CADUCEUS_PH, card[1], card[2],
-                         lr=1e-3, batch=256)
+                         lr=1e-3, batch=256,
+                         dataset="nucleotide_transformer")
     return replace(cfg, data=replace(cfg.data, dataset_name="H4"))
 
 
@@ -170,7 +195,8 @@ def nt_denoisecnn() -> ExperimentConfig:
     """`nt_denoisecnn.yaml`: RC-gated dilated CNN on NT tasks."""
     card = NT_TASKS["H4"]
     cfg = _finetune_base("nt_denoisecnn", _DENOISE, card[1], card[2],
-                         lr=3e-3, batch=256)
+                         lr=3e-3, batch=256,
+                         dataset="nucleotide_transformer")
     return replace(cfg, data=replace(cfg.data, dataset_name="H4"))
 
 
@@ -178,7 +204,8 @@ def nt_denoisecnn() -> ExperimentConfig:
 def nt_hyena() -> ExperimentConfig:
     """`nt_hyena1.6M.yaml`: pretrained-hyena classifier on NT tasks."""
     card = NT_TASKS["H4"]
-    cfg = _finetune_base("nt_hyena", _HYENA_CLS, card[1], card[2])
+    cfg = _finetune_base("nt_hyena", _HYENA_CLS, card[1], card[2],
+                         dataset="nucleotide_transformer")
     return replace(cfg, data=replace(cfg.data, dataset_name="H4"))
 
 
@@ -187,7 +214,7 @@ def genomic_benchmark() -> ExperimentConfig:
     """`genomic_benchmark*.yaml`: 8-task suite; pick with dataset_name."""
     card = GB_TASKS["human_nontata_promoters"]
     cfg = _finetune_base("genomic_benchmark", _HYENA_CLS, card[1],
-                         min(card[2], 512))
+                         min(card[2], 512), dataset="genomic_benchmark")
     return replace(cfg, data=replace(
         cfg.data, dataset_name="human_nontata_promoters"))
 
@@ -196,14 +223,15 @@ def genomic_benchmark() -> ExperimentConfig:
 def gue_dnabert2() -> ExperimentConfig:
     """`gue.yaml`: DNABERT-2 on the GUE suite (BPE tokens)."""
     return _finetune_base("gue_dnabert2", _DNABERT2_CLS, 2, 128, batch=64,
-                          lr=3e-5)
+                          lr=3e-5, dataset="gue", tokenizer="bpe")
 
 
 @registry.experiment.register("deepsea_denoise")
 def deepsea_denoise() -> ExperimentConfig:
     """`deepsea_denoise.yaml`: 919-label multilabel chromatin profile."""
     cfg = _finetune_base("deepsea_denoise", _DENOISE, 919, 1000,
-                         task="multilabel", lr=1e-3)
+                         task="multilabel", lr=1e-3, dataset="deepsea",
+                         n_targets=919)
     return cfg
 
 
@@ -212,7 +240,8 @@ def chromatin_profile() -> ExperimentConfig:
     """`chromatin_profile.yaml`: DeepSEA-style 919-target profile via the
     hyena backbone."""
     return _finetune_base("chromatin_profile", _HYENA_CLS, 919, 1000,
-                          task="multilabel")
+                          task="multilabel", dataset="chromatin_profile",
+                          n_targets=919)
 
 
 @registry.experiment.register("deepstarr_denoise")
@@ -221,7 +250,7 @@ def deepstarr_denoise() -> ExperimentConfig:
     cfg = _finetune_base(
         "deepstarr_denoise",
         replace(_DENOISE, name="denoise_cnn_regression"), 2, 249,
-        task="regression", lr=2e-3)
+        task="regression", lr=2e-3, dataset="deepstarr", n_targets=2)
     return cfg
 
 
@@ -230,13 +259,35 @@ def deepstarr_cnn() -> ExperimentConfig:
     """Reference DeepSTARR conv net (`deepstarr_cnn.py`)."""
     return _finetune_base("deepstarr_cnn",
                           ModelConfig(name="deepstarr_cnn", dropout=0.4),
-                          2, 248, task="regression", lr=2e-3)
+                          2, 248, task="regression", lr=2e-3,
+                          dataset="deepstarr", n_targets=2)
 
 
 @registry.experiment.register("species_classification")
 def species_classification() -> ExperimentConfig:
     """`species` experiments: which-species classification over windows."""
-    return _finetune_base("species_classification", _HYENA_CLS, 5, 1024)
+    return _finetune_base("species_classification", _HYENA_CLS, 5, 1024,
+                          dataset="species")
+
+
+@registry.experiment.register("dnaberts_pretrain")
+def dnaberts_pretrain() -> ExperimentConfig:
+    """DNABERT-S pair-corpus MLM pretrain (reference DNABERTSDataset,
+    `datasets/dnaberts.py`); select the column with data.dataset_name
+    (seq_a/seq_b)."""
+    return ExperimentConfig(
+        name="dnaberts_pretrain",
+        model=ModelConfig(name="dnabert2", vocab_size=4096, d_model=768,
+                          n_layers=12, n_heads=12, d_ff=3072, alibi=True,
+                          mlm_gather=0.375),
+        data=DataConfig(dataset="dnaberts", tokenizer="bpe", max_length=128,
+                        batch_size=256, mlm_probability=0.15),
+        task=TaskConfig(name="mlm"),
+        optimizer=OptimizerConfig(name="adamw", lr=5e-4, weight_decay=1e-5),
+        scheduler=SchedulerConfig(name="linear_warmup", warmup_steps=10_000,
+                                  total_steps=500_000),
+        train=TrainConfig(steps=1000),
+    )
 
 
 @registry.experiment.register("hg38_hyena_icl")

@@ -104,6 +104,11 @@ class OptimizerConfig:
     eps: float = 1e-8
     # Per-layer learning-rate decay (reference `train.py:489-523`).
     layer_decay: Optional[float] = None
+    # Per-parameter absolute-lr overrides (reference `_optim` hooks,
+    # `hyena.py:228-231`; `lr_pos_emb`, `hg38_hyena.yaml:27-30`): None = no
+    # override, 0.0 = freeze the group. Both groups always get wd=0.
+    filter_lr: Optional[float] = None
+    lr_pos_emb: Optional[float] = None
     grad_clip: Optional[float] = 1.0
     # Gradient accumulation (reference `accumulate_grad_batches`,
     # `train.py:644-661`): one optimizer step per N micro-batches.
@@ -126,6 +131,15 @@ class DataConfig:
     tokenizer_path: Optional[str] = None
     fasta_path: Optional[str] = None
     bed_path: Optional[str] = None
+    # Suite/corpus root for file-backed datasets (reference `dest_path` /
+    # `text_file` kwargs, e.g. `genomics.py:1322-1501`): the GUE/NT/GB suite
+    # directory, DeepSEA .npz, DeepSTARR dir, species FASTA dir, the
+    # DNABERT-2 2-bit corpus dir, … — see each dataset factory's docstring.
+    dest_path: Optional[str] = None
+    split: str = "train"
+    # Output width for multilabel/regression synthetics standing in for
+    # real targets (DeepSEA 919, DeepSTARR 2).
+    n_targets: Optional[int] = None
     max_length: int = 128
     batch_size: int = 256  # global batch size (across all data-parallel replicas)
     mlm_probability: float = 0.15
@@ -167,7 +181,13 @@ class ModelConfig:
     cnn_mode: str = "dilation"  # dilation | pure_gate | up_down | convnext
     # classification / regression heads
     n_classes: int = 2
-    pool: str = "mean"  # mean | last | first | sum
+    pool: str = "mean"  # mean | last | first | sum | pool | ragged
+    # SequenceDecoder length restriction (reference `decoders.py:50-75`):
+    # None = pooled scalar head; 0 = length-1 squeezed; k>0 = last/first k.
+    l_output: Optional[int] = None
+    # input encoder adapter (reference `encoders.py:295-331` registry):
+    # embedding | onehot | linear | position | conv1d
+    encoder: str = "embedding"
     # LM-backbone mixer family: hyena | mamba (attention layers selected
     # separately via attn_layer_idx, reference `create_mixer_cls`)
     mixer: str = "hyena"
@@ -178,6 +198,12 @@ class ModelConfig:
     # CoPE contextual position embedding (NTv2 fork experiment,
     # `modeling_esm.py:93-160`); XLA path only (needs the full score matrix)
     cope: bool = False
+    # NT-v1 specifics (reference `src/models/sequence/nt.py:598-670`):
+    # ESM-style learned positional embeddings (pad-aware cumsum positions)
+    # and TokensDropout (zero [MASK] embeddings + observed-ratio rescale).
+    learned_pos_emb: bool = False
+    token_dropout: bool = False
+    mask_token_id: int = 3  # wired from the tokenizer by experiments.build
     # Masked-position-only MLM head (reference masked-token-only prediction,
     # `bert_layers.py:817-833`): gather this fraction of positions before the
     # LM head + CE; 0 = full-length head.

@@ -295,37 +295,191 @@ class SpeciesDataset(_ClassificationBase):
 
 
 # ---- registry entries keyed like the reference datamodules ----
+#
+# Every file-backed factory degrades to the matching synthetic stand-in when
+# its required paths are unset (this environment ships no genome assets), so
+# the full experiment catalog is runnable by config either way — set
+# `data.dest_path`/`data.fasta_path` to train on real data (reference
+# datamodule auto-registration, `src/dataloaders/base.py:181-183`).
+
+import warnings
+
+
+def _real_or_synth(tokenizer, cfg, required: Sequence[str], synth: str,
+                   build_real):
+    missing = [f for f in required if getattr(cfg, f) in (None, "")]
+    if missing:
+        warnings.warn(
+            f"dataset {cfg.dataset!r}: data.{'/'.join(missing)} not set — "
+            f"falling back to synthetic stand-in {synth!r}", stacklevel=3)
+        return registry.dataset[synth](tokenizer, cfg)
+    return build_real()
+
 
 @registry.dataset.register("nucleotide_transformer")
 def _nt(tokenizer, cfg):
-    return NucleotideTransformerDataset(
-        cfg.fasta_path, cfg.dataset_name or "H4", tokenizer,
-        max_length=cfg.max_length, rc_aug=cfg.rc_aug, seed=cfg.seed)
+    return _real_or_synth(
+        tokenizer, cfg, ("dest_path",), "synthetic_cls",
+        lambda: NucleotideTransformerDataset(
+            cfg.dest_path, cfg.dataset_name or "H4", tokenizer,
+            split=cfg.split, max_length=cfg.max_length, rc_aug=cfg.rc_aug,
+            seed=cfg.seed))
 
 
 @registry.dataset.register("genomic_benchmark")
 def _gb(tokenizer, cfg):
-    return GenomicBenchmarkDataset(
-        cfg.fasta_path, cfg.dataset_name or "human_nontata_promoters",
-        tokenizer, max_length=cfg.max_length, rc_aug=cfg.rc_aug, seed=cfg.seed)
+    return _real_or_synth(
+        tokenizer, cfg, ("dest_path",), "synthetic_cls",
+        lambda: GenomicBenchmarkDataset(
+            cfg.dest_path, cfg.dataset_name or "human_nontata_promoters",
+            tokenizer, split=cfg.split, max_length=cfg.max_length,
+            rc_aug=cfg.rc_aug, seed=cfg.seed))
+
+
+@registry.dataset.register("gue")
+def _gue(tokenizer, cfg):
+    """GUE suite: `dest_path/<dataset_name>/{train,dev,test}.csv`."""
+    return _real_or_synth(
+        tokenizer, cfg, ("dest_path",), "synthetic_cls",
+        lambda: GUEDataset(
+            cfg.dest_path, cfg.dataset_name or "prom/prom_300_all", tokenizer,
+            split=cfg.split, max_length=cfg.max_length, rc_aug=cfg.rc_aug,
+            seed=cfg.seed))
+
+
+@registry.dataset.register("deepsea")
+def _deepsea(tokenizer, cfg):
+    """`dest_path` = .npz with `{split}_seqs`/`{split}_targets` (or plain
+    `seqs`/`targets`) arrays."""
+    return _real_or_synth(
+        tokenizer, cfg, ("dest_path",), "synthetic_multilabel",
+        lambda: DeepSEADataset(cfg.dest_path, tokenizer, split=cfg.split,
+                               max_length=cfg.max_length, seed=cfg.seed))
+
+
+@registry.dataset.register("deepstarr")
+def _deepstarr(tokenizer, cfg):
+    """`dest_path` = dir with `Sequences_{Train,Val,Test}.fa` +
+    `Sequences_activity_*.txt` (reference `deepstarr.py:196-225`)."""
+    return _real_or_synth(
+        tokenizer, cfg, ("dest_path",), "synthetic_reg",
+        lambda: DeepSTARRDataset(cfg.dest_path, tokenizer, split=cfg.split,
+                                 max_length=cfg.max_length, seed=cfg.seed))
+
+
+@registry.dataset.register("species")
+def _species(tokenizer, cfg):
+    """`dest_path` = dir of per-species FASTA files; the species label is the
+    file stem (reference `species_dataset.py:28-300` species list)."""
+
+    def build():
+        base = Path(cfg.dest_path)
+        fastas = {p.stem: str(p) for p in sorted(base.iterdir())
+                  if p.suffix in (".fa", ".fasta", ".fna")}
+        if not fastas:
+            raise FileNotFoundError(f"no FASTA files under {base}")
+        return SpeciesDataset(fastas, tokenizer, split=cfg.split,
+                              max_length=cfg.max_length,
+                              total_size=cfg.num_samples, rc_aug=cfg.rc_aug,
+                              seed=cfg.seed)
+
+    return _real_or_synth(tokenizer, cfg, ("dest_path",), "synthetic_cls",
+                          build)
+
+
+@registry.dataset.register("chromatin_profile")
+def _chromatin_profile(tokenizer, cfg):
+    """`dest_path` = coordinate/target CSV (per split via `{split}` substring
+    or a single file), `fasta_path` = reference genome."""
+
+    def build():
+        path = Path(cfg.dest_path)
+        if path.is_dir():
+            matches = sorted(path.glob(f"*{cfg.split}*.csv")) or \
+                sorted(path.glob("*.csv"))
+            if not matches:
+                raise FileNotFoundError(f"no csv under {path}")
+            path = matches[0]
+        return ChromatinProfileDataset(str(path), cfg.fasta_path, tokenizer,
+                                       max_length=cfg.max_length,
+                                       seed=cfg.seed)
+
+    return _real_or_synth(tokenizer, cfg, ("dest_path", "fasta_path"),
+                          "synthetic_multilabel", build)
+
+
+@registry.dataset.register("dnaberts")
+def _dnaberts(tokenizer, cfg):
+    """DNABERT-S pair corpus: `dest_path` = csv with seq_a/seq_b columns;
+    `dataset_name` picks the column (default seq_a)."""
+    return _real_or_synth(
+        tokenizer, cfg, ("dest_path",), "synthetic_mlm",
+        lambda: DNABertSPairDataset(
+            cfg.dest_path, tokenizer,
+            seq_name=cfg.dataset_name or "seq_a", max_length=cfg.max_length,
+            mlm_probability=cfg.mlm_probability, seed=cfg.seed))
+
+
+@registry.dataset.register("hg38_fixed")
+def _hg38_fixed(tokenizer, cfg):
+    """Deterministic eval windows; `dataset_name` = comma-separated
+    chromosome list (default chr14, Enformer-style)."""
+    return _real_or_synth(
+        tokenizer, cfg, ("fasta_path",), "synthetic_lm",
+        lambda: HG38FixedDataset(
+            cfg.fasta_path, tokenizer,
+            chromosomes=tuple((cfg.dataset_name or "chr14").split(",")),
+            max_length=cfg.max_length,
+            mlm_probability=cfg.mlm_probability, seed=cfg.seed))
 
 
 @registry.dataset.register("hg38")
 def _hg38(tokenizer, cfg):
     from dna_tpu.data.fasta import HG38Dataset
 
-    return HG38Dataset(cfg.bed_path, cfg.fasta_path, tokenizer,
-                       max_length=cfg.max_length, rc_aug=cfg.rc_aug,
-                       seed=cfg.seed)
+    split = {"val": "valid"}.get(cfg.split, cfg.split)  # bed naming
+    return _real_or_synth(
+        tokenizer, cfg, ("bed_path", "fasta_path"), "synthetic_lm",
+        lambda: HG38Dataset(cfg.bed_path, cfg.fasta_path, tokenizer,
+                            split=split, max_length=cfg.max_length,
+                            rc_aug=cfg.rc_aug, seed=cfg.seed))
 
 
 @registry.dataset.register("bert_hg38")
 def _bert_hg38(tokenizer, cfg):
     from dna_tpu.data.fasta import BertHG38Dataset
 
-    return BertHG38Dataset(cfg.bed_path, cfg.fasta_path, tokenizer,
-                           max_length=cfg.max_length, rc_aug=cfg.rc_aug,
-                           mlm_probability=cfg.mlm_probability, seed=cfg.seed)
+    split = {"val": "valid"}.get(cfg.split, cfg.split)
+    return _real_or_synth(
+        tokenizer, cfg, ("bed_path", "fasta_path"), "synthetic_mlm",
+        lambda: BertHG38Dataset(cfg.bed_path, cfg.fasta_path, tokenizer,
+                                split=split, max_length=cfg.max_length,
+                                rc_aug=cfg.rc_aug,
+                                mlm_probability=cfg.mlm_probability,
+                                seed=cfg.seed))
+
+
+@registry.dataset.register("dnabert2")
+def _dnabert2(tokenizer, cfg):
+    """Flagship pretrain corpus: `dest_path` = dir with `{split}.bin` +
+    `{split}_padding_info.json` (2-bit packed rows, reference
+    `dnabert2.py:137-245`; val/test map to `dev` like the reference)."""
+    from dna_tpu.data.twobit import DNABert2PretrainDataset, TwoBitCorpus
+
+    def build():
+        split = cfg.split if cfg.split not in ("val", "test") else "dev"
+        base = Path(cfg.dest_path)
+        bin_path = base / f"{split}.bin"
+        sidecar = base / f"{split}_padding_info.json"
+        if not bin_path.exists():
+            raise FileNotFoundError(bin_path)
+        corpus = TwoBitCorpus(str(bin_path), str(sidecar))
+        return DNABert2PretrainDataset(
+            corpus, tokenizer, max_length=cfg.max_length,
+            mlm_probability=cfg.mlm_probability, seed=cfg.seed)
+
+    return _real_or_synth(tokenizer, cfg, ("dest_path",), "synthetic_mlm",
+                          build)
 
 
 class DNABertSPairDataset(_ClassificationBase):

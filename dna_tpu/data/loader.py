@@ -81,20 +81,29 @@ class ShardedLoader:
         return {k: np.stack([ex[k] for ex in examples]) for k in examples[0]}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Endless iteration from the current resume state.
+
+        The producer thread runs `prefetch` batches ahead on its own local
+        cursor; `self.state` advances only when a batch is *consumed*, so a
+        checkpoint taken after step N resumes at exactly batch N+1 — the
+        reference's fast-forward guarantee (`fault_tolerant_sampler.py:111-115`)
+        without the skew a produced-side counter would introduce."""
         q: Queue = Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        start = LoaderState(self.state.epoch, self.state.step)
 
         def producer():
+            epoch, step = start.epoch, start.step
             try:
                 while not stop.is_set():
-                    perm = self._epoch_perm(self.state.epoch)
-                    while self.state.step < self.steps_per_epoch:
+                    perm = self._epoch_perm(epoch)
+                    while step < self.steps_per_epoch:
                         if stop.is_set():
                             return
-                        batch = self._fetch_batch(perm, self.state.step)
-                        q.put((batch, LoaderState(self.state.epoch, self.state.step + 1)))
-                        self.state.step += 1
-                    self.state = LoaderState(self.state.epoch + 1, 0)
+                        batch = self._fetch_batch(perm, step)
+                        q.put((batch, LoaderState(epoch, step + 1)))
+                        step += 1
+                    epoch, step = epoch + 1, 0
             finally:
                 q.put(None)
 
@@ -106,6 +115,7 @@ class ShardedLoader:
                 if item is None:
                     return
                 batch, next_state = item
+                self.state = next_state
                 yield batch
         finally:
             stop.set()

@@ -145,6 +145,30 @@ class SyntheticRegressionDataset:
         return {"input_ids": ids.astype(np.int32), "labels": target}
 
 
+class SyntheticMultilabelDataset:
+    """DeepSEA-style multilabel examples: `n_targets` independent binary
+    targets derived from motif presence so they are learnable."""
+
+    def __init__(self, tokenizer: Optional[CharTokenizer] = None,
+                 max_length: int = 1000, n_targets: int = 919,
+                 num_samples: int = 4096, seed: int = 0):
+        self.tokenizer = tokenizer or CharTokenizer()
+        self.max_length = max_length
+        self.n_targets = n_targets
+        self.num_samples = num_samples
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng((self.seed, idx))
+        seq = random_dna(rng, self.max_length)
+        ids = self.tokenizer.encode(seq)
+        targets = (rng.random(self.n_targets) < 0.1).astype(np.float32)
+        return {"input_ids": ids.astype(np.int32), "labels": targets}
+
+
 @registry.dataset.register("synthetic_mlm")
 def _synthetic_mlm(tokenizer, cfg):
     return SyntheticMLMDataset(
@@ -163,3 +187,19 @@ def _synthetic_lm(tokenizer, cfg):
 def _synthetic_cls(tokenizer, cfg):
     return SyntheticClassificationDataset(
         tokenizer, max_length=cfg.max_length, num_samples=cfg.num_samples, seed=cfg.seed)
+
+
+@registry.dataset.register("synthetic_reg")
+def _synthetic_reg(tokenizer, cfg):
+    return SyntheticRegressionDataset(
+        tokenizer, max_length=cfg.max_length,
+        n_outputs=cfg.n_targets or 2, num_samples=cfg.num_samples,
+        seed=cfg.seed)
+
+
+@registry.dataset.register("synthetic_multilabel")
+def _synthetic_multilabel(tokenizer, cfg):
+    return SyntheticMultilabelDataset(
+        tokenizer, max_length=cfg.max_length,
+        n_targets=cfg.n_targets or 919, num_samples=cfg.num_samples,
+        seed=cfg.seed)

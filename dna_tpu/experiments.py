@@ -47,7 +47,7 @@ def dnabert2_pretrain() -> ExperimentConfig:
         model=ModelConfig(name="dnabert2", vocab_size=4096, d_model=768,
                           n_layers=12, n_heads=12, d_ff=3072, alibi=True,
                           mlm_gather=0.375),
-        data=DataConfig(dataset="synthetic_mlm", tokenizer="bpe", max_length=128,
+        data=DataConfig(dataset="dnabert2", tokenizer="bpe", max_length=128,
                         batch_size=512, mlm_probability=0.15),
         task=TaskConfig(name="mlm"),
         optimizer=OptimizerConfig(name="adamw", lr=5e-4, weight_decay=1e-5),
@@ -81,10 +81,14 @@ def hg38_hyena() -> ExperimentConfig:
         model=ModelConfig(name="hyena_lm", d_model=256, n_layers=4, n_heads=1,
                           d_ff=1024, max_len=1024, hyena_order=2,
                           hyena_filter_order=64, hyena_filter_emb_dim=5),
-        data=DataConfig(dataset="synthetic_lm", tokenizer="char",
+        data=DataConfig(dataset="hg38", tokenizer="char",
                         max_length=1024, batch_size=256),
         task=TaskConfig(name="lm"),
-        optimizer=OptimizerConfig(name="adamw", lr=6e-4, weight_decay=0.1),
+        # filter_lr/lr_pos_emb: the reference pins the implicit-filter MLP at
+        # the base lr with wd=0 and freezes the filter positional embedding
+        # (`hg38_hyena.yaml:27-30` lr=${optimizer.lr}, wd=0, lr_pos_emb=0).
+        optimizer=OptimizerConfig(name="adamw", lr=6e-4, weight_decay=0.1,
+                                  filter_lr=6e-4, lr_pos_emb=0.0),
         scheduler=SchedulerConfig(name="cosine_warmup", warmup_steps=1000,
                                   total_steps=100_000),
         train=TrainConfig(steps=1000),
@@ -113,7 +117,7 @@ def caduceus_pretrain() -> ExperimentConfig:
         model=ModelConfig(name="caduceus", d_model=118, n_layers=4,
                           d_state=16, bidirectional=True,
                           bidirectional_strategy="add", rcps=False),
-        data=DataConfig(dataset="synthetic_mlm", tokenizer="char",
+        data=DataConfig(dataset="bert_hg38", tokenizer="char",
                         max_length=1024, batch_size=128),
         task=TaskConfig(name="mlm"),
         optimizer=OptimizerConfig(name="adamw", lr=8e-3, weight_decay=1e-5),
@@ -143,7 +147,9 @@ def _model_vocab_for_tokenizer(mcfg: ModelConfig, tokenizer) -> ModelConfig:
     # round vocab up to a lane-friendly multiple for the MXU
     vocab = ((vocab + 127) // 128) * 128 if vocab > 128 else vocab
     return replace(mcfg, vocab_size=max(mcfg.vocab_size, vocab),
-                   pad_token_id=tokenizer.pad_token_id)
+                   pad_token_id=tokenizer.pad_token_id,
+                   mask_token_id=getattr(tokenizer, "mask_token_id",
+                                         mcfg.mask_token_id))
 
 
 @dataclasses.dataclass
@@ -159,6 +165,7 @@ class Experiment:
     schedule: Any
     mesh: Any
     rules: Any
+    eval_dataset: Any = None
 
 
 def build(cfg: ExperimentConfig, mesh=None) -> Experiment:
@@ -172,15 +179,34 @@ def build(cfg: ExperimentConfig, mesh=None) -> Experiment:
     tokenizer = get_tokenizer(cfg.data.tokenizer, cfg.data.tokenizer_path)
     mcfg = _model_vocab_for_tokenizer(cfg.model, tokenizer)
     dataset = registry.dataset[cfg.data.dataset](tokenizer, cfg.data)
+    eval_dataset = build_eval_dataset(cfg, tokenizer)
     model = registry.model[mcfg.name](mcfg)
     task_fn = registry.task[cfg.task.name]
-    tx, schedule = build_optimizer(cfg.optimizer, cfg.scheduler)
+    tx, schedule = build_optimizer(
+        cfg.optimizer, cfg.scheduler,
+        accum_stages=getattr(cfg.train, "seqlen_stages", ()))
     if mesh is None:
         mesh = build_mesh(cfg.mesh)
     return Experiment(
         cfg=replace(cfg, model=mcfg), tokenizer=tokenizer, dataset=dataset,
         model=model, task_fn=task_fn, tx=tx, schedule=schedule, mesh=mesh,
-        rules=logical_rules())
+        rules=logical_rules(), eval_dataset=eval_dataset)
+
+
+def build_eval_dataset(cfg: ExperimentConfig, tokenizer, split: str = "val"):
+    """Build the validation-split dataset for the experiment's dataset family
+    (reference val-loader wiring, `train.py:558-582`). Synthetic stand-ins
+    use a disjoint seed; file-backed datasets whose split assets are missing
+    return None (no eval)."""
+    import warnings
+
+    data = replace(cfg.data, split=split, seed=cfg.data.seed + 7919)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # fallback warning already shown
+            return registry.dataset[cfg.data.dataset](tokenizer, data)
+    except (FileNotFoundError, ValueError, KeyError, OSError):
+        return None
 
 
 def get_experiment(name: str, overrides=()) -> ExperimentConfig:

@@ -62,10 +62,17 @@ def seed_sweep(cfg: ExperimentConfig, *, seeds: Sequence[int] = (2222, 42, 43),
                monitor: str = "val/mcc", monitor_mode: str = "max",
                host_metrics: Sequence[str] = ("mcc", "f1"),
                eval_dataset=None, train_dataset=None, mesh=None,
-               verbose: bool = False) -> Dict[str, Any]:
+               verbose: bool = False, output_dir=None) -> Dict[str, Any]:
     """Reference seed-sweep protocol: per-seed best-val metric, then
-    mean/min/max across seeds (`py_cal_mean.py:16-46`)."""
+    mean/min/max across seeds (`py_cal_mean.py:16-46`).
+
+    With `output_dir`, also writes the reference's result artifacts
+    (`pybash/result_*.txt` + `mean_and_range_diff.csv`): one
+    `result_<task>_<experiment>.txt` with a `seed value` line per seed, and
+    an appended CSV row `name, Mean, Range Difference, <per-seed values>`
+    (failed/missing seeds recorded as -1.0, like the reference)."""
     per_seed: List[float] = []
+    by_seed: Dict[int, float] = {}
     for seed in seeds:
         run_cfg = replace(cfg, train=replace(cfg.train, seed=seed),
                           data=replace(cfg.data, seed=seed))
@@ -75,6 +82,7 @@ def seed_sweep(cfg: ExperimentConfig, *, seeds: Sequence[int] = (2222, 42, 43),
                        mesh=mesh, verbose=verbose)
         if out["best"] is not None:
             per_seed.append(float(out["best"]))
+            by_seed[seed] = float(out["best"])
     agg = {
         "seeds": list(seeds),
         "per_seed": per_seed,
@@ -83,4 +91,29 @@ def seed_sweep(cfg: ExperimentConfig, *, seeds: Sequence[int] = (2222, 42, 43),
         "max": float(np.max(per_seed)) if per_seed else None,
         "monitor": monitor,
     }
+    if output_dir:
+        _write_sweep_artifacts(output_dir, cfg, seeds, by_seed, agg)
     return agg
+
+
+def _write_sweep_artifacts(output_dir, cfg: ExperimentConfig,
+                           seeds: Sequence[int], by_seed: Dict[int, float],
+                           agg: Dict[str, Any]) -> None:
+    import csv
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    task = cfg.data.dataset_name or cfg.data.dataset
+    name = f"result_{task}_{cfg.name}.txt"
+    with open(os.path.join(output_dir, name), "w") as f:
+        for seed in seeds:
+            f.write(f"{seed} {by_seed.get(seed, -1.0)}\n")
+    csv_path = os.path.join(output_dir, "mean_and_range_diff.csv")
+    new = not os.path.exists(csv_path)
+    vals = [by_seed.get(s, -1.0) for s in seeds]
+    rng_diff = (max(vals) - min(vals)) if vals else 0.0
+    with open(csv_path, "a", newline="") as f:
+        w = csv.writer(f)
+        if new:
+            w.writerow([""] + ["Mean", "Range Difference"] + list(seeds))
+        w.writerow([name, np.mean(vals) if vals else -1.0, rng_diff] + vals)

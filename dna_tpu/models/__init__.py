@@ -1,6 +1,6 @@
 """Model zoo. Importing this package populates the model registry."""
 
-from dna_tpu.models import bert, cnn, esm, hyena, lm, mamba  # noqa: F401
+from dna_tpu.models import adapters, bert, cnn, esm, hyena, lm, mamba  # noqa: F401
 
 from dna_tpu.models.bert import (  # noqa: F401
     BertEncoder,

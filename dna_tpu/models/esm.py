@@ -104,6 +104,43 @@ class CoPE(nn.Module):
         return logits_ceil * w + logits_floor * (1 - w)
 
 
+class LearnedPositionalEmbeddings(nn.Module):
+    """ESM/NT-v1 learned positional embeddings (reference
+    `ESMLearnedPositionalEmbeddings`, `nt.py:598-627`): positions are the
+    pad-aware prefix count shifted by `padding_idx`, so padding rows all hit
+    the shared `padding_idx` slot."""
+
+    max_len: int
+    d_model: int
+    padding_idx: int
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        table = self.param(
+            "embedding",
+            nn.with_logical_partitioning(nn.initializers.normal(0.02),
+                                         (None, "embed")),
+            (self.max_len + self.padding_idx + 2, self.d_model), jnp.float32)
+        mask = (input_ids != self.padding_idx).astype(jnp.int32)
+        positions = jnp.cumsum(mask, axis=1) * mask + self.padding_idx
+        return jnp.take(table, positions, axis=0)
+
+
+def tokens_dropout(x: jax.Array, input_ids: jax.Array, *, pad_token_id: int,
+                   mask_token_id: int, masking_ratio: float = 0.15,
+                   masking_prob: float = 0.8) -> jax.Array:
+    """NT-v1 TokensDropout (reference `nt.py:629-670`): zero the [MASK]
+    embeddings and rescale each row by (1 - expected mask ratio) /
+    (1 - observed mask ratio) — ESM's train/eval consistency trick."""
+    is_mask = input_ids == mask_token_id
+    x = jnp.where(is_mask[..., None], 0.0, x)
+    src_len = jnp.maximum((input_ids != pad_token_id).sum(-1), 1)
+    observed = is_mask.sum(-1) / src_len
+    train_ratio = masking_ratio * masking_prob
+    scale = (1.0 - train_ratio) / jnp.maximum(1.0 - observed, 1e-6)
+    return x * scale[:, None, None].astype(x.dtype)
+
+
 class EsmSelfAttention(nn.Module):
     cfg: ModelConfig
 
@@ -206,12 +243,21 @@ class EsmEncoder(nn.Module):
         self.layers = [LayerCls(cfg, name=f"layer_{i}")
                        for i in range(cfg.n_layers)]
         self.final_ln = layer_norm(eps=cfg.norm_eps)
+        if cfg.learned_pos_emb:
+            self.pos_embed = LearnedPositionalEmbeddings(
+                cfg.max_len, cfg.d_model, cfg.pad_token_id)
 
     def __call__(self, input_ids: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
                  *, deterministic: bool = True,
                  output_attentions: bool = False):
+        cfg = self.cfg
         x = self.embed(input_ids)
+        if cfg.token_dropout:
+            x = tokens_dropout(x, input_ids, pad_token_id=cfg.pad_token_id,
+                               mask_token_id=cfg.mask_token_id)
+        if cfg.learned_pos_emb:
+            x = x + self.pos_embed(input_ids).astype(x.dtype)
         all_probs = []
         for layer in self.layers:
             # pass the kwarg only when set: a python bool kwarg through a

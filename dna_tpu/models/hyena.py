@@ -184,12 +184,14 @@ class HyenaOperator(nn.Module):
 
 
 @registry.layer.register("hyena")
-def _hyena(cfg: ModelConfig, l_max: int):
+def _hyena(cfg: ModelConfig, l_max: int, causal: bool = True):
+    """LMBlock mixer factory (the reference's `layer: {_name_: hyena}`
+    registry entry, consumed by `create_mixer_cls`)."""
     return HyenaOperator(
         d_model=cfg.d_model, l_max=l_max, order=cfg.hyena_order,
         filter_order=cfg.hyena_filter_order,
         filter_emb_dim=cfg.hyena_filter_emb_dim,
         short_filter_order=cfg.short_filter_len, dropout=cfg.dropout,
-        bidirectional=cfg.bidirectional and not cfg.alibi,
+        bidirectional=not causal,
         filter_shift=cfg.hyena_filter_shift,
         dtype=jnp.dtype(cfg.dtype))

@@ -74,29 +74,15 @@ class LMBlock(nn.Module):
         if self.layer_idx in self.attn_layer_idx:
             self.mixer = MHAMixer(cfg, causal=self.causal)
             self._mixer_kind = "attn"
-        elif cfg.mixer == "mamba":
-            from dna_tpu.models.mamba import BiMambaWrapper, Mamba
-
-            if self.causal:
-                self.mixer = Mamba(cfg.d_model, cfg.d_state, cfg.d_conv,
-                                   cfg.expand, dtype=jnp.dtype(cfg.dtype))
-                self._mixer_kind = "mamba"
-            else:
-                self.mixer = BiMambaWrapper(
-                    cfg.d_model, cfg.d_state, cfg.d_conv, cfg.expand,
-                    strategy=cfg.bidirectional_strategy,
-                    dtype=jnp.dtype(cfg.dtype))
-                self._mixer_kind = "bimamba"
         else:
-            self.mixer = HyenaOperator(
-                d_model=cfg.d_model, l_max=self.l_max, order=cfg.hyena_order,
-                filter_order=cfg.hyena_filter_order,
-                filter_emb_dim=cfg.hyena_filter_emb_dim,
-                short_filter_order=cfg.short_filter_len, dropout=cfg.dropout,
-                bidirectional=not self.causal,
-                filter_shift=cfg.hyena_filter_shift,
-                dtype=jnp.dtype(cfg.dtype))
-            self._mixer_kind = "hyena"
+            # mixer comes from the layer registry — the reference's
+            # `create_mixer_cls` string switch (`long_conv_lm.py:74-118`)
+            from dna_tpu import registry as _registry
+
+            self.mixer = _registry.layer[cfg.mixer](
+                cfg, l_max=self.l_max, causal=self.causal)
+            self._mixer_kind = (cfg.mixer if self.causal or cfg.mixer != "mamba"
+                                else "bimamba")
 
     def _mix(self, h, deterministic, return_state):
         if self._mixer_kind == "mamba":
@@ -151,8 +137,17 @@ class LMBackbone(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.embed = TokenEmbed(cfg.vocab_size, cfg.d_model,
-                                dtype=jnp.dtype(cfg.dtype))
+        if cfg.encoder == "embedding":
+            self.embed = TokenEmbed(cfg.vocab_size, cfg.d_model,
+                                    dtype=jnp.dtype(cfg.dtype))
+        else:
+            # alternate input encoders via the adapter registry (reference
+            # encoder registry, `src/tasks/encoders.py:295-331`)
+            from dna_tpu import registry as _registry
+            import dna_tpu.models.adapters  # noqa: F401 — populate
+
+            self.embed = _registry.encoder[cfg.encoder](
+                cfg.vocab_size, cfg.d_model, max_len=self.l_max)
         if self.learned_pos_emb:
             self.pos_emb = self.param(
                 "pos_emb",
@@ -259,17 +254,30 @@ class DNAEmbeddingModel(nn.Module):
     causal: bool = True
 
     def setup(self):
+        cfg = self.cfg
         self.backbone = LMBackbone(
-            self.cfg, attn_layer_idx=self.attn_layer_idx, l_max=self.l_max,
+            cfg, attn_layer_idx=self.attn_layer_idx, l_max=self.l_max,
             causal=self.causal)
-        self.pool = SequencePool(self.cfg.pool)
-        self.score = dense(self.cfg.n_classes, ("embed", "vocab"),
-                           dtype=jnp.float32, name="score")
+        if cfg.l_output is not None or cfg.pool in ("pool", "ragged"):
+            # full SequenceDecoder semantics (l_output restriction, running
+            # pool, ragged) via the adapter registry
+            from dna_tpu.models.adapters import SequenceDecoder
+
+            self.decode = SequenceDecoder(
+                d_output=cfg.n_classes, l_output=cfg.l_output,
+                mode=cfg.pool if cfg.pool != "mean" else "pool")
+            self.pool = None
+        else:
+            self.pool = SequencePool(cfg.pool)
+            self.score = dense(cfg.n_classes, ("embed", "vocab"),
+                               dtype=jnp.float32, name="score")
 
     def __call__(self, input_ids: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
         h = self.backbone(input_ids, deterministic=deterministic)
+        if self.pool is None:
+            return self.decode(h, attention_mask)
         pooled = self.pool(h, attention_mask)
         return self.score(pooled.astype(jnp.float32))
 

@@ -415,7 +415,13 @@ def _caduceus_cls(cfg: ModelConfig):
 
 
 @registry.layer.register("mamba")
-def _mamba_layer(cfg: ModelConfig, l_max: int = 0):
+def _mamba_layer(cfg: ModelConfig, l_max: int = 0, causal: bool = True):
+    """LMBlock mixer factory; non-causal requests get the bidirectional
+    wrapper (Caduceus-style add/multiply merge)."""
     del l_max
-    return Mamba(cfg.d_model, cfg.d_state, cfg.d_conv, cfg.expand,
-                 dtype=jnp.dtype(cfg.dtype))
+    if causal:
+        return Mamba(cfg.d_model, cfg.d_state, cfg.d_conv, cfg.expand,
+                     dtype=jnp.dtype(cfg.dtype))
+    return BiMambaWrapper(cfg.d_model, cfg.d_state, cfg.d_conv, cfg.expand,
+                          strategy=cfg.bidirectional_strategy,
+                          dtype=jnp.dtype(cfg.dtype))

@@ -65,29 +65,49 @@ class PipelinedBertForMLM(nn.Module):
 
         stacked_params = nn.meta.unbox(self.param("layers", init_stacked))
 
+        # dropout rng threaded through the scan/pipeline explicitly (flax
+        # rng plumbing can't cross shard_map); folded per layer for
+        # decorrelation
+        needs_rng = cfg.dropout > 0.0 and not deterministic
+        drop_key = self.make_rng("dropout") if needs_rng else None
+
+        def apply_layer(lp, h, mask, layer_idx):
+            rngs = None
+            if needs_rng:
+                rngs = {"dropout": jax.random.fold_in(drop_key, layer_idx)}
+            return layer.apply({"params": lp}, h, mask,
+                               deterministic=deterministic, rngs=rngs)
+
         if self.pp > 1 and self.mesh is not None:
             per_stage = cfg.n_layers // self.pp
             stage_tree = jax.tree_util.tree_map(
                 lambda a: a.reshape(self.pp, per_stage, *a.shape[1:]),
                 stacked_params)
 
-            def stage_fn(stage_params, h):
-                def body(h, lp):
-                    return layer.apply({"params": lp}, h, None,
-                                       deterministic=True), None
+            def stage_fn(stage_params, h, mask_mb=None):
+                # global layer index = stage_rank * per_stage + local index
+                base = jax.lax.axis_index("pp") * per_stage
 
-                h, _ = jax.lax.scan(body, h, stage_params)
+                def body(h, xs):
+                    lp, i = xs
+                    return apply_layer(lp, h, mask_mb, base + i), None
+
+                h, _ = jax.lax.scan(
+                    body, h, (stage_params, jnp.arange(per_stage)))
                 return h
 
             xm = microbatch(x, self.n_microbatches)
-            xm = gpipe(stage_fn, stage_tree, xm, mesh=self.mesh)
+            aux = (None if attention_mask is None
+                   else microbatch(attention_mask, self.n_microbatches))
+            xm = gpipe(stage_fn, stage_tree, xm, mesh=self.mesh, aux=aux)
             x = unmicrobatch(xm)
         else:
-            def body(h, lp):
-                return layer.apply({"params": lp}, h, None,
-                                   deterministic=True), None
+            def body(h, xs):
+                lp, i = xs
+                return apply_layer(lp, h, attention_mask, i), None
 
-            x, _ = jax.lax.scan(body, x, stacked_params)
+            x, _ = jax.lax.scan(
+                body, x, (stacked_params, jnp.arange(cfg.n_layers)))
 
         h = dense(cfg.d_model, ("embed", "embed_out"), dtype=dtype,
                   name="transform")(x)

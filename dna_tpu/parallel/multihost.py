@@ -70,3 +70,44 @@ def shard_batch_for_host(loader_kwargs: dict) -> dict:
     out.setdefault("host_id", jax.process_index())
     out.setdefault("host_count", jax.process_count())
     return out
+
+
+_SEQ_FIELDS = ("input_ids", "attention_mask", "mask")
+
+
+def batch_pspec(name: str, arr, seq_len: Optional[int], mesh: Mesh) -> P:
+    """Per-leaf input PartitionSpec: batch axis over (dp, fsdp); the sequence
+    axis additionally over sp for length-L fields (labels only when they are
+    per-position — [B, n_targets] regression/multilabel targets stay
+    replicated along axis 1)."""
+    has_sp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("sp", 1) > 1
+    is_seq = arr.ndim >= 2 and seq_len is not None and arr.shape[1] == seq_len \
+        and (name in _SEQ_FIELDS or name == "labels")
+    if has_sp and is_seq:
+        return P(("dp", "fsdp"), "sp")
+    return P(("dp", "fsdp"))
+
+
+def make_global_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array]:
+    """Place a host-local numpy batch onto the mesh as global jax.Arrays.
+
+    Single-process: a committed `device_put` with the data sharding (inputs
+    arrive pre-sharded instead of replicated). Multi-process: every host
+    holds rows [h*B/H, (h+1)*B/H) of the global batch (ShardedLoader's
+    host_id slice) and `jax.make_array_from_process_local_data` assembles the
+    logically-global array — the reference's DistributedSampler + NCCL
+    scatter collapsed into addressable-shard bookkeeping."""
+    seq_len = None
+    if "input_ids" in batch:
+        seq_len = np.asarray(batch["input_ids"]).shape[1] \
+            if np.asarray(batch["input_ids"]).ndim >= 2 else None
+    out = {}
+    multi = jax.process_count() > 1
+    for k, v in batch.items():
+        v = np.asarray(v)
+        sharding = NamedSharding(mesh, batch_pspec(k, v, seq_len, mesh))
+        if multi:
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        else:
+            out[k] = jax.device_put(v, sharding)
+    return out

@@ -29,14 +29,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def gpipe(
-    stage_fn: Callable,      # (stage_params, x_mb) -> y_mb
+    stage_fn: Callable,      # (stage_params, x_mb[, aux_mb]) -> y_mb
     stage_params,            # pytree, leading dim = pp (sharded over "pp")
     x: jax.Array,            # [n_micro, mb, ...] microbatched input
     *,
     mesh: Mesh,
     axis: str = "pp",
+    aux: jax.Array = None,   # optional [n_micro, ...] replicated side input
 ) -> jax.Array:
-    """Run x through pp sequential stages; returns [n_micro, mb, ...]."""
+    """Run x through pp sequential stages; returns [n_micro, mb, ...].
+
+    `aux` carries per-microbatch side inputs every stage needs (e.g. the
+    attention mask): replicated on all ranks; at tick t, rank r works on
+    microbatch t−r, so it indexes aux[t−r] locally — no extra comms."""
     pp = mesh.shape[axis]
     n_micro = x.shape[0]
     T = n_micro + pp - 1
@@ -44,7 +49,7 @@ def gpipe(
     # one spec entry per pytree leaf: params sharded on leading stage dim
     param_specs = jax.tree_util.tree_map(lambda _: P(axis), stage_params)
 
-    def worker(params_local, x_local):
+    def worker(params_local, x_local, aux_local):
         r = jax.lax.axis_index(axis)
         params_stage = jax.tree_util.tree_map(lambda p: p[0], params_local)
         mb_shape = x_local.shape[1:]
@@ -54,7 +59,13 @@ def gpipe(
             inject = jax.lax.dynamic_index_in_dim(
                 x_local, jnp.clip(t, 0, n_micro - 1), axis=0, keepdims=False)
             my_in = jnp.where(r == 0, inject, act)
-            out = stage_fn(params_stage, my_in)
+            if aux_local is not None:
+                a = jax.lax.dynamic_index_in_dim(
+                    aux_local, jnp.clip(t - r, 0, n_micro - 1), axis=0,
+                    keepdims=False)
+                out = stage_fn(params_stage, my_in, a)
+            else:
+                out = stage_fn(params_stage, my_in)
             m = t - (pp - 1)
             is_last = r == pp - 1
             store_idx = jnp.clip(m, 0, n_micro - 1)
@@ -76,11 +87,12 @@ def gpipe(
         outputs = jax.lax.psum(outputs * mask, axis)
         return outputs
 
-    in_specs = (param_specs, P(*([None] * x.ndim)))
+    aux_spec = (None if aux is None else P(*([None] * aux.ndim)))
+    in_specs = (param_specs, P(*([None] * x.ndim)), aux_spec)
     out_specs = P(*([None] * x.ndim))
     fn = shard_map(worker, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
-    return fn(stage_params, x)
+    return fn(stage_params, x, aux)
 
 
 def microbatch(x: jax.Array, n_micro: int) -> jax.Array:

@@ -53,7 +53,9 @@ scheduler = Registry["Callable[..., Any]"]("scheduler")
 encoder = Registry["Callable[..., Any]"]("encoder")
 decoder = Registry["Callable[..., Any]"]("decoder")
 experiment = Registry["Callable[..., Any]"]("experiment")
-callback = Registry["Callable[..., Any]"]("callback")
+# (the reference also has a callback registry; PL-style callbacks are
+# integrated into TrainLoop directly — timer/norms/eval/staging — so no
+# registry indirection is needed here)
 
 
 def instantiate(reg: Registry, spec: Any, *args, **extra):

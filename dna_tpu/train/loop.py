@@ -141,7 +141,8 @@ class TrainLoop:
                  verbose: bool = True):
         self.exp = exp
         self.cfg: ExperimentConfig = exp.cfg
-        self.eval_dataset = eval_dataset
+        self.eval_dataset = (eval_dataset if eval_dataset is not None
+                             else getattr(exp, "eval_dataset", None))
         # named eval loaders evaluated each eval tick (reference val-loader
         # multiplexing, `train.py:558-582`); "/ema" duplicates are implicit —
         # eval_step already uses EMA params when train.ema > 0
@@ -173,6 +174,12 @@ class TrainLoop:
             track_param_norms=exp.cfg.train.track_param_norms)
         self.eval_step = make_eval_step(exp.model, exp.task_fn, self.mesh,
                                         exp.rules, self.shardings)
+        # raw-params eval alongside the EMA one (the reference evaluates val
+        # and its `/ema` duplicate, `train.py:442-455,558-582`) so EMA-vs-raw
+        # regressions are visible
+        self.eval_step_raw = make_eval_step(
+            exp.model, exp.task_fn, self.mesh, exp.rules, self.shardings,
+            use_ema=False) if exp.cfg.train.ema > 0.0 else None
         self.predict_step = make_predict_step(exp.model, self.mesh, exp.rules,
                                               self.shardings)
         self.ckpt: Optional[CheckpointManager] = None
@@ -186,34 +193,55 @@ class TrainLoop:
         if self.verbose:
             print(msg, flush=True)
 
+    def _host_slots(self) -> Dict[str, int]:
+        """This process's slice of every global batch (multi-host data
+        feeding, `parallel/multihost.py`). Identity on a single host."""
+        return dict(host_id=jax.process_index(),
+                    host_count=jax.process_count())
+
+    def _global_batch(self, batch):
+        from dna_tpu.parallel.multihost import make_global_batch
+
+        return make_global_batch(batch, self.mesh)
+
     def evaluate(self, dataset=None, max_batches: Optional[int] = None
                  ) -> Dict[str, float]:
         dataset = dataset if dataset is not None else self.eval_dataset
         if dataset is None:
             return {}
         loader = ShardedLoader(dataset, self.cfg.data.batch_size, seed=1,
-                               shuffle=False)
+                               shuffle=False, **self._host_slots())
         sums: Dict[str, float] = {}
         count = 0
         all_logits, all_labels = [], []
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
+            host_batch = batch
+            batch = self._global_batch(batch)
             m = self.eval_step(self.state, batch)
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-            if self.host_metrics:
+            if self.eval_step_raw is not None:
+                for k, v in self.eval_step_raw(self.state, batch).items():
+                    sums[f"raw/{k}"] = sums.get(f"raw/{k}", 0.0) + float(v)
+            if self.host_metrics and jax.process_count() == 1:
+                # host metrics gather full logits; multi-host would need a
+                # process allgather — single-host only for now
                 logits = self.predict_step(self.state, batch)
                 all_logits.append(np.asarray(jax.device_get(logits),
                                              np.float32))
-                all_labels.append(np.asarray(batch["labels"]))
+                all_labels.append(np.asarray(host_batch["labels"]))
             count += 1
         out = {f"val/{k}": v / max(count, 1) for k, v in sums.items()}
         if self.host_metrics and all_logits:
             logits = np.concatenate(all_logits)
             labels = np.concatenate(all_labels)
-            if logits.ndim == 3:  # pooled-task logits come back [B, C]
-                pass
+            if logits.ndim == 3 and labels.ndim == 2:
+                # token-level task: score only supervised positions
+                # (ignore_index=-100 elsewhere), flattened
+                valid = labels != -100
+                logits, labels = logits[valid], labels[valid]
             for name in self.host_metrics:
                 out[f"val/{name}"] = metrics_host.compute_metric(
                     name, labels, logits)
@@ -225,7 +253,7 @@ class TrainLoop:
         steps = steps if steps is not None else cfg.train.steps
         if loader is None:
             loader = ShardedLoader(self.exp.dataset, cfg.data.batch_size,
-                                   seed=cfg.data.seed)
+                                   seed=cfg.data.seed, **self._host_slots())
 
         # resume FIRST: the debug step cap and the val-at-start pass must see
         # the restored state, not the fresh init
@@ -260,7 +288,7 @@ class TrainLoop:
         tokens_per_batch = cfg.data.batch_size * cfg.data.max_length
 
         for step_i in range(start_step, steps):
-            batch = next(it)
+            batch = self._global_batch(next(it))
             self.state, metrics = self.train_step(self.state, batch)
 
             if cfg.train.debug:
@@ -312,21 +340,34 @@ class TrainLoop:
                           history=history, steps_done=steps - start_step)
 
     def run_stages(self) -> LoopResult:
-        """Staged sequence-length warmup (reference SeqlenWarmupReload):
-        each stage re-jits at its (seq_len, batch) shape; optimizer state and
-        params carry across stages."""
+        """Staged sequence-length warmup (reference SeqlenWarmupReload,
+        `src/callbacks/seqlen_warmup_reload.py`): each stage re-creates the
+        dataset at its seq_len *through the dataset registry* (so real
+        datasets — hg38 bed/fasta etc. — restage exactly like synthetics) and
+        re-jits at the (seq_len, batch) shape; params and optimizer state
+        carry across stages. Stages may carry a 4th element, the per-stage
+        grad-accumulation factor (reference `train.py:644-661`), already
+        baked into the optimizer by `make_accum_schedule`."""
         import dataclasses as dc
+        import warnings
+
+        from dna_tpu import registry
 
         results = []
         total = 0
-        for (seq_len, batch_size, stage_steps) in self.cfg.train.seqlen_stages:
-            self._log(f"stage: L={seq_len} B={batch_size} steps={stage_steps}")
+        for stage in self.cfg.train.seqlen_stages:
+            seq_len, batch_size, stage_steps = stage[:3]
+            accum = stage[3] if len(stage) > 3 else 1
+            self._log(f"stage: L={seq_len} B={batch_size} steps={stage_steps}"
+                      + (f" accum={accum}" if accum > 1 else ""))
             data_cfg = dc.replace(self.cfg.data, max_length=seq_len,
                                   batch_size=batch_size)
-            dataset = type(self.exp.dataset)(
-                self.exp.tokenizer, max_length=seq_len,
-                num_samples=max(len(self.exp.dataset), batch_size * 2))
-            loader = ShardedLoader(dataset, batch_size, seed=self.cfg.data.seed)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # synthetic fallback repeats
+                dataset = registry.dataset[data_cfg.dataset](
+                    self.exp.tokenizer, data_cfg)
+            loader = ShardedLoader(dataset, batch_size, seed=self.cfg.data.seed,
+                                   **self._host_slots())
             total += stage_steps
             res = self.run(steps=total, loader=loader)
             results.append(res)
@@ -343,7 +384,7 @@ class TrainLoop:
         for (resolution, stage_steps) in self.cfg.train.resolution_stages:
             self._log(f"stage: resolution={resolution} steps={stage_steps}")
             base = ShardedLoader(self.exp.dataset, self.cfg.data.batch_size,
-                                 seed=self.cfg.data.seed)
+                                 seed=self.cfg.data.seed, **self._host_slots())
             loader = TransformLoader(
                 base, lambda b, r=resolution: subsample_batch(b, r))
             total += stage_steps

@@ -125,11 +125,15 @@ def make_train_step(
 
 
 def make_eval_step(model: nn.Module, task_fn, mesh: Mesh, rules,
-                   state_shardings: TrainState):
+                   state_shardings: TrainState, *, use_ema: bool = True):
+    """use_ema=False forces raw params even when EMA is tracked, so the loop
+    can log raw and `/ema` duplicates (reference `train.py:442-455`)."""
     forward = make_forward_fn(model, task_fn)
 
     def eval_step(state: TrainState, batch: Batch):
-        params = state.ema_params if state.ema_params is not None else state.params
+        params = (state.ema_params
+                  if use_ema and state.ema_params is not None
+                  else state.params)
         loss, metrics = forward(params, batch, state.rng, True)
         return metrics
 

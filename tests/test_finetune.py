@@ -48,3 +48,36 @@ def test_seed_sweep_aggregates():
     # planted-motif task: the CNN should beat chance clearly
     assert agg["mean"] > 0.3, agg
     assert agg["min"] <= agg["mean"] <= agg["max"]
+
+
+def test_seed_sweep_writes_result_artifacts(tmp_path):
+    """`pybash/result_*.txt` + `mean_and_range_diff.csv` parity artifacts."""
+    import csv
+    import warnings
+
+    from dna_tpu.experiments import get_experiment
+    from dna_tpu.finetune import seed_sweep
+
+    cfg = get_experiment("nt_hyena", [
+        "model.d_model=32", "model.n_layers=1", "model.d_ff=64",
+        "model.dtype=float32", "data.batch_size=8", "data.num_samples=64",
+        "train.steps=2", "train.eval_every=2", "train.eval_steps=1",
+        "train.log_every=0", "scheduler.warmup_steps=1",
+        "scheduler.total_steps=4", "model.max_len=128", "data.max_length=128",
+        "model.hyena_filter_emb_dim=5", "model.hyena_filter_order=16",
+    ])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        agg = seed_sweep(cfg, seeds=(1, 2), monitor="val/loss",
+                         monitor_mode="min", host_metrics=(),
+                         output_dir=str(tmp_path))
+    assert agg["mean"] is not None
+    txt = tmp_path / "result_H4_nt_hyena.txt"
+    assert txt.exists()
+    lines = txt.read_text().strip().splitlines()
+    assert len(lines) == 2 and lines[0].startswith("1 ")
+    with open(tmp_path / "mean_and_range_diff.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0][:3] == ["", "Mean", "Range Difference"]
+    assert rows[1][0] == "result_H4_nt_hyena.txt"
+    assert len(rows[1]) == 3 + 2

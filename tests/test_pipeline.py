@@ -120,3 +120,58 @@ def test_pipelined_bert_matches_scan_and_trains():
         if first is None:
             first = float(loss)
     assert float(loss) < first - 0.2, (first, float(loss))
+
+
+def test_gpipe_aux_side_input_indexes_per_microbatch():
+    """aux[m] must reach the stage working on microbatch m at every stage."""
+    pp, n_micro, d = 2, 4, 8
+    mesh = _mesh(pp)
+    params = _make_params(jax.random.key(4), pp, d)
+    x = jax.random.normal(jax.random.key(5), (n_micro * 2, d))
+    # per-microbatch additive aux (broadcast over rows)
+    aux = jnp.arange(n_micro, dtype=x.dtype)[:, None, None] * jnp.ones(
+        (n_micro, 2, d), x.dtype)
+
+    def stage_aux(p, h, a):
+        return _stage_fn(p, h) + a
+
+    out = unmicrobatch(gpipe(stage_aux, params, microbatch(x, n_micro),
+                             mesh=mesh, aux=aux))
+
+    w, b = params
+    ref = x
+    for i in range(pp):
+        ref = _stage_fn((w[i], b[i]), microbatch(ref, n_micro))
+        ref = unmicrobatch(ref + aux)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pipelined_bert_mask_parity_with_padding():
+    """The pp model must honor attention_mask: padded inputs give the same
+    logits on real positions as the pp=1 path (VERDICT weak #10)."""
+    from dna_tpu.config.core import ModelConfig
+    from dna_tpu.models.pipelined import PipelinedBertForMLM
+
+    cfg = ModelConfig(name="dnabert2_pp", vocab_size=32, d_model=32,
+                      n_layers=4, n_heads=4, d_ff=64, use_flash=False,
+                      dtype="float32")
+    ids = jax.random.randint(jax.random.key(0), (4, 16), 7, 12)
+    mask = jnp.asarray(np.tile([1] * 12 + [0] * 4, (4, 1)), jnp.int32)
+
+    seq_model = PipelinedBertForMLM(cfg, pp=1)
+    params = seq_model.init(jax.random.key(1), ids, mask,
+                            deterministic=True)["params"]
+    ref = seq_model.apply({"params": params}, ids, mask, deterministic=True)
+
+    mesh = _mesh(2)
+    pp_model = PipelinedBertForMLM(cfg, pp=2, n_microbatches=2, mesh=mesh)
+    with mesh:
+        out = pp_model.apply({"params": params}, ids, mask,
+                             deterministic=True)
+    np.testing.assert_allclose(np.asarray(out[:, :12]),
+                               np.asarray(ref[:, :12]), atol=2e-4)
+    # and masked vs unmasked differ (the mask is actually applied)
+    with mesh:
+        out_nomask = pp_model.apply({"params": params}, ids, None,
+                                    deterministic=True)
+    assert np.abs(np.asarray(out) - np.asarray(out_nomask)).max() > 1e-4
