@@ -41,18 +41,33 @@ def multihead_attention(
     softmax_scale: Optional[float] = None,
     impl: str = "auto",  # auto | flash | ref
 ) -> jax.Array:
+    import os as _os
+
     B, S, H, D = q.shape
     sp_mesh = _ambient_sp_mesh()
     if impl == "auto":
         # Flash pays off once the S×S score materialization dominates; at
-        # short S (DNABERT-2's 128-token batches) XLA's fused batched-matmul
-        # attention is faster than the kernel's per-(b,h) grid overhead
-        # (measured on v5e: 124k vs 99k tok/s at S=128, batch 256).
+        # short S (DNABERT-2's 128-token batches) the fused all-heads kernel
+        # (`attention_small`) keeps softmax entirely in VMEM without the
+        # per-(b,h) grid overhead that made the flash kernel lose there
+        # (measured on v5e: 124k ref vs 99k flash tok/s at S=128, batch 256).
+        from dna_tpu.ops import attention_small
+
         impl = "flash" if (D % 128 == 0 or D in (64,)) and S >= 512 else "ref"
+        if (impl == "ref" and sp_mesh is None
+                and attention_small.supports(S, H, D)
+                and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
+            impl = "small"
         if sp_mesh is not None and impl == "flash":
             # local q tiles must still be 128-aligned under sp sharding
             if (S // sp_mesh.shape["sp"]) % 128 != 0:
                 impl = "ref"
+    if impl == "small":
+        from dna_tpu.ops.attention_small import fused_small_attention
+
+        return fused_small_attention(
+            q, k, v, attention_mask=attention_mask, alibi=alibi,
+            causal=causal, softmax_scale=softmax_scale)
     if impl == "flash":
         try:
             from dna_tpu.ops.flash_attention import (

@@ -1,0 +1,393 @@
+"""Fused all-heads attention kernel for short sequences (Pallas TPU).
+
+The DNABERT-2 pretrain point (S=128) is memory-bound, and the XLA reference
+attention materializes fp32 [B, H, S, S] scores in HBM once in the forward
+pass and again in the checkpointed backward recompute — ~1 GB/layer of pure
+softmax traffic at B=128 (XLA cost analysis, `scripts/probe_cost.py`). The
+per-(batch, head) flash kernel (`ops/flash_attention.py`) removes that
+traffic but loses at small S to its own grid overhead: a [S=128, D=64] tile
+per grid step leaves the pipeline idle (measured 99k vs 124k tok/s at S=128).
+
+This kernel takes the opposite decomposition: **grid over batch only**, with
+the full [S, H·D] activation row-block resident in VMEM. All heads are
+processed by an unrolled Python loop over static lane slices — no
+[B, H, S, D] transpose (the packed [B, S, H·D] layout is the natural output
+of the QKV projection, and H·D is a multiple of 128 lanes, so nothing pads).
+Softmax never touches HBM in either direction; the backward kernel recomputes
+probabilities from q/k in VMEM (lse isn't even saved — at these sizes the
+recompute is cheaper than the extra output).
+
+Replaces the same reference component as the flash kernel: the Triton
+flash-attention-with-bias (`src/models/sequence/flash_attn_triton.py:767+`)
+used by DNABERT-2 (`bert_layers.py:183-197`), for the short-S regime.
+
+Numerics: fp32 scores/softmax, bf16 operands on the MXU with fp32
+accumulation. Matches `attention_ref` to bf16 tolerance (oracle tests in
+`tests/test_flash_attention.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dna_tpu.ops.attention_ref import alibi_slopes
+
+NEG_INF = -1e9
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _base_bias(S: int, mask_row, causal: bool):
+    """[S, S] fp32 additive bias shared by all heads (pad mask + causal)."""
+    bias = jnp.zeros((S, S), jnp.float32)
+    if mask_row is not None:
+        bias = bias + jnp.where(mask_row[None, :] != 0, 0.0, NEG_INF)
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        bias = jnp.where(rows >= cols, bias, NEG_INF)
+    return bias
+
+
+def _alibi_rel(S: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    return jnp.abs(rows - cols).astype(jnp.float32)
+
+
+def _softmax_p(s):
+    """Row softmax with fully-masked-row guard; returns fp32 probs."""
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.where(l == 0.0, 1.0, l)
+
+
+def _fwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                n_heads: int, head_dim: int, causal: bool, alibi: bool,
+                scale: float):
+    S = q_ref.shape[1]
+    G = q_ref.shape[0]
+    rel = _alibi_rel(S) if alibi else None
+    for g in range(G):
+      mask_row = mask_ref[g, 0, :] if mask_ref is not None else None
+      bias = _base_bias(S, mask_row, causal)
+      for h in range(n_heads):
+        sl = pl.ds(h * head_dim, head_dim)
+        qh = q_ref[g, :, sl]
+        kh = k_ref[g, :, sl]
+        vh = v_ref[g, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + bias
+        if alibi:
+            s = s - slope_ref[h] * rel
+        p = _softmax_p(s)
+        oh = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[g, :, sl] = oh.astype(o_ref.dtype)
+
+
+def _bwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, n_heads: int, head_dim: int,
+                causal: bool, alibi: bool, scale: float):
+    S = q_ref.shape[1]
+    G = q_ref.shape[0]
+    rel = _alibi_rel(S) if alibi else None
+    for g in range(G):
+      mask_row = mask_ref[g, 0, :] if mask_ref is not None else None
+      bias = _base_bias(S, mask_row, causal)
+      for h in range(n_heads):
+        sl = pl.ds(h * head_dim, head_dim)
+        qh = q_ref[g, :, sl]
+        kh = k_ref[g, :, sl]
+        vh = v_ref[g, :, sl]
+        doh = do_ref[g, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + bias
+        if alibi:
+            s = s - slope_ref[h] * rel
+        p = _softmax_p(s)
+        pb = p.astype(vh.dtype)
+        # o is recomputed for delta = rowsum(do∘o) — cheaper than saving it
+        oh = jax.lax.dot_general(pb, vh, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        do32 = doh.astype(jnp.float32)
+        delta = jnp.sum(do32 * oh, axis=-1, keepdims=True)  # [S, 1]
+        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta) * scale).astype(qh.dtype)
+        dq_ref[g, :, sl] = jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[g, :, sl] = jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        dv_ref[g, :, sl] = jax.lax.dot_general(
+            pb, doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Tile variant: when D < 128, a head slice is not lane-aligned and Mosaic
+# relayouts every [S, D] sub-tile. Instead, operate on full 128-lane tiles
+# (T = 128 // D heads per tile) and isolate a head by multiplying the
+# *contraction operand* with an in-register lane mask — zeros kill the other
+# heads' contributions in the dot, so no sub-lane slicing ever happens.
+# ---------------------------------------------------------------------------
+
+
+def _lane_head_masks(S: int, T: int, dtype):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1) * T // 128
+    return [(lane == j).astype(dtype) for j in range(T)]
+
+
+def _fwd_kernel_tile(slope_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                     n_heads: int, head_dim: int, causal: bool, alibi: bool,
+                     scale: float):
+    S = q_ref.shape[1]
+    G = q_ref.shape[0]
+    HD = q_ref.shape[2]
+    T = 128 // head_dim
+    rel = _alibi_rel(S) if alibi else None
+    lane_masks = _lane_head_masks(S, T, q_ref.dtype)
+    for g in range(G):
+        mask_row = mask_ref[g, 0, :] if mask_ref is not None else None
+        bias = _base_bias(S, mask_row, causal)
+        for t in range(HD // 128):
+            tl = pl.ds(t * 128, 128)
+            qp = q_ref[g, :, tl]
+            kp = k_ref[g, :, tl]
+            vp = v_ref[g, :, tl]
+            o_tile = jnp.zeros((S, 128), jnp.float32)
+            for j in range(T):
+                h = t * T + j
+                s = jax.lax.dot_general(
+                    qp * lane_masks[j], kp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = s + bias
+                if alibi:
+                    s = s - slope_ref[h] * rel
+                p = _softmax_p(s)
+                of = jax.lax.dot_general(
+                    p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                o_tile = o_tile + of * lane_masks[j].astype(jnp.float32)
+            o_ref[g, :, tl] = o_tile.astype(o_ref.dtype)
+
+
+def _bwd_kernel_tile(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, *, n_heads: int, head_dim: int,
+                     causal: bool, alibi: bool, scale: float):
+    S = q_ref.shape[1]
+    G = q_ref.shape[0]
+    HD = q_ref.shape[2]
+    T = 128 // head_dim
+    rel = _alibi_rel(S) if alibi else None
+    lane_masks = _lane_head_masks(S, T, q_ref.dtype)
+    for g in range(G):
+        mask_row = mask_ref[g, 0, :] if mask_ref is not None else None
+        bias = _base_bias(S, mask_row, causal)
+        for t in range(HD // 128):
+            tl = pl.ds(t * 128, 128)
+            qp = q_ref[g, :, tl]
+            kp = k_ref[g, :, tl]
+            vp = v_ref[g, :, tl]
+            dop = do_ref[g, :, tl]
+            dq_t = jnp.zeros((S, 128), jnp.float32)
+            dk_t = jnp.zeros((S, 128), jnp.float32)
+            dv_t = jnp.zeros((S, 128), jnp.float32)
+            for j in range(T):
+                h = t * T + j
+                mj = lane_masks[j]
+                mj32 = mj.astype(jnp.float32)
+                qj = qp * mj
+                doj = dop * mj
+                s = jax.lax.dot_general(
+                    qj, kp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = s + bias
+                if alibi:
+                    s = s - slope_ref[h] * rel
+                p = _softmax_p(s)
+                pb = p.astype(vp.dtype)
+                # head-j lanes of p @ vp are o_j; others are masked out below
+                of = jax.lax.dot_general(pb, vp, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                delta = jnp.sum(doj.astype(jnp.float32) * of, axis=-1,
+                                keepdims=True)
+                dp = jax.lax.dot_general(doj, vp, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                ds = (p * (dp - delta) * scale).astype(qp.dtype)
+                dq_t = dq_t + jax.lax.dot_general(
+                    ds, kp * mj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dk_t = dk_t + jax.lax.dot_general(
+                    ds, qj, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dv_t = dv_t + jax.lax.dot_general(
+                    pb, doj, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * mj32
+            dq_ref[g, :, tl] = dq_t.astype(dq_ref.dtype)
+            dk_ref[g, :, tl] = dk_t.astype(dk_ref.dtype)
+            dv_ref[g, :, tl] = dv_t.astype(dv_ref.dtype)
+
+
+def _use_tile(head_dim: int) -> bool:
+    import os
+
+    impl = os.environ.get("DNA_TPU_SMALL_ATTN_IMPL", "tile")
+    return impl == "tile" and head_dim < 128 and 128 % head_dim == 0
+
+
+def _mask_none_wrapper(kernel, mask_pos, *refs, **kw):
+    refs = list(refs)
+    refs.insert(mask_pos, None)
+    return kernel(*refs, **kw)
+
+
+def _group(B: int, S: int, HD: int, n_bufs: int) -> int:
+    """Largest batch-group G (divisor of B, ≤8) whose double-buffered
+    blocks fit comfortably in VMEM (~12 MB budget, leaving room for the
+    fp32 [S, S] temporaries)."""
+    import os
+
+    env = os.environ.get("DNA_TPU_SMALL_ATTN_G")
+    budget = 12 * 1024 * 1024
+    per_row = n_bufs * 2 * S * HD * 2  # bf16, double-buffered
+    g = max(1, min(8, budget // max(per_row, 1)))
+    if env:
+        g = int(env)
+    while B % g:
+        g -= 1
+    return g
+
+
+def _specs(B, S, HD, with_mask, G):
+    xspec = pl.BlockSpec((G, S, HD), lambda b, *_: (b, 0, 0))
+    in_specs = [xspec, xspec, xspec]
+    if with_mask:
+        # mask arrives [B, 1, S]: the unit second-to-last dim satisfies
+        # Mosaic's block-shape rule (a (1, S) block over [B, S] does not)
+        in_specs.append(pl.BlockSpec((G, 1, S), lambda b, *_: (b, 0, 0)))
+    return xspec, in_specs
+
+
+def _fwd_impl(q, k, v, mask, slopes, *, n_heads, causal, alibi, scale):
+    B, S, HD = q.shape
+    head_dim = HD // n_heads
+    G = _group(B, S, HD, n_bufs=4)
+    xspec, in_specs = _specs(B, S, HD, mask is not None, G)
+    inputs = [q, k, v] + ([mask] if mask is not None else [])
+    kfn = _fwd_kernel_tile if _use_tile(head_dim) else _fwd_kernel
+    kernel = functools.partial(kfn, n_heads=n_heads,
+                               head_dim=head_dim, causal=causal, alibi=alibi,
+                               scale=scale)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B // G,), in_specs=in_specs,
+            out_specs=xspec),
+        out_shape=jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(slopes, *inputs)
+
+
+def _bwd_impl(q, k, v, mask, slopes, do, *, n_heads, causal, alibi, scale):
+    B, S, HD = q.shape
+    head_dim = HD // n_heads
+    G = _group(B, S, HD, n_bufs=7)
+    xspec, in_specs = _specs(B, S, HD, mask is not None, G)
+    in_specs.append(xspec)  # do
+    inputs = [q, k, v] + ([mask] if mask is not None else []) + [do]
+    kfn = _bwd_kernel_tile if _use_tile(head_dim) else _bwd_kernel
+    kernel = functools.partial(kfn, n_heads=n_heads,
+                               head_dim=head_dim, causal=causal, alibi=alibi,
+                               scale=scale)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B // G,), in_specs=in_specs,
+            out_specs=(xspec, xspec, xspec)),
+        out_shape=(jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, S, HD), k.dtype),
+                   jax.ShapeDtypeStruct((B, S, HD), v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(slopes, *inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _small(q, k, v, mask, slopes, n_heads, causal, alibi, scale):
+    return _fwd_impl(q, k, v, mask, slopes, n_heads=n_heads, causal=causal,
+                     alibi=alibi, scale=scale)
+
+
+def _small_fwd(q, k, v, mask, slopes, n_heads, causal, alibi, scale):
+    o = _fwd_impl(q, k, v, mask, slopes, n_heads=n_heads, causal=causal,
+                  alibi=alibi, scale=scale)
+    return o, (q, k, v, mask, slopes)
+
+
+def _small_bwd(n_heads, causal, alibi, scale, res, do):
+    q, k, v, mask, slopes = res
+    dq, dk, dv = _bwd_impl(q, k, v, mask, slopes, do, n_heads=n_heads,
+                           causal=causal, alibi=alibi, scale=scale)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dq, dk, dv, dmask, jnp.zeros_like(slopes)
+
+
+_small.defvjp(_small_fwd, _small_bwd)
+
+
+def supports(S: int, H: int, D: int) -> bool:
+    """Shapes this kernel handles: 128-aligned packed lanes, and the
+    backward pass's 7 double-buffered [S, H·D] bf16 blocks (plus fp32 [S, S]
+    temporaries) fit the ~16 MB VMEM budget at G=1."""
+    vmem = 7 * 2 * S * H * D * 2 + 6 * S * S * 4
+    return (S % 128 == 0 and (H * D) % 128 == 0 and D <= 256
+            and vmem <= 12 * 1024 * 1024)
+
+
+def fused_small_attention(
+    q: jax.Array,  # [B, S, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    attention_mask: Optional[jax.Array] = None,  # [B, S] 1=keep
+    alibi: bool = False,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+) -> jax.Array:
+    B, S, H, D = q.shape
+    if not supports(S, H, D):
+        raise ValueError(f"fused_small_attention: unsupported shape "
+                         f"S={S} H={H} D={D}")
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    slopes = alibi_slopes(H) if alibi else jnp.zeros((H,), jnp.float32)
+    mask = None
+    if attention_mask is not None:
+        mask = attention_mask.astype(jnp.int32)[:, None, :]
+    # [B, S, H, D] → [B, S, H·D]: a row-major bitcast, not a transpose
+    qf, kf, vf = (x.reshape(B, S, H * D) for x in (q, k, v))
+    o = _small(qf, kf, vf, mask, slopes, H, causal, alibi, scale)
+    return o.reshape(B, S, H, D)

@@ -88,7 +88,7 @@ def _fwd_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
             preferred_element_type=jnp.float32) * scale  # [Bq, Bk]
         mask_tile = None
         if mask_ref is not None:
-            mask_tile = mask_ref[0, pl.ds(j * block_k, block_k)]
+            mask_tile = mask_ref[0, 0, pl.ds(j * block_k, block_k)]
         s = s + _bias_tile(slope, qi, j, bq, block_k, causal, alibi, mask_tile,
                            q_off, k_off)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -134,7 +134,7 @@ def _bwd_dq_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                                 preferred_element_type=jnp.float32) * scale
         mask_tile = None
         if mask_ref is not None:
-            mask_tile = mask_ref[0, pl.ds(j * block_k, block_k)]
+            mask_tile = mask_ref[0, 0, pl.ds(j * block_k, block_k)]
         s = s + _bias_tile(slope, qi, j, bq, block_k, causal, alibi, mask_tile,
                            q_off, k_off)
         p = jnp.exp(s - lse)  # [Bq, Bk]
@@ -163,7 +163,7 @@ def _bwd_dkv_kernel(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref,
     k_off = qoff_ref[1]
     kb = k_ref[0, 0]  # [Bk, D]
     vb = v_ref[0, 0]
-    mask_tile = mask_ref[0, :] if mask_ref is not None else None
+    mask_tile = mask_ref[0, 0, :] if mask_ref is not None else None
 
     nq = q_len // block_q
     # causal: q blocks whose global rows end before this k block start
@@ -206,9 +206,302 @@ def _choose_blocks(q_len: int, kv_len: int):
     return bq, bk
 
 
+def _stream_threshold() -> int:
+    """Sequence length at/above which K/V (and q in the dk/dv kernel) are
+    streamed through a fourth grid dimension instead of kept whole in VMEM.
+    Whole-in-VMEM K/V caps out around S≈32k at D=64 bf16 (VERDICT weak #5:
+    ≥16 MB for K+V alone at S=64k); streaming removes the cap so single-chip
+    attention reaches the reference's long-context eval lengths
+    (`configs/evals/soft_prompting_genomics.yaml:21`, 160k+)."""
+    import os
+
+    return int(os.environ.get("DNA_TPU_ATTN_STREAM_S", "16384"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming (4-D grid) kernels for long sequences. The online-softmax state
+# (acc, m, l) lives in VMEM scratch and persists across the innermost k-block
+# grid dimension; outputs are written on the last k step. Same math as the
+# resident kernels above — oracle-tested against them and attention_ref.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_stream(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref,
+                       o_ref, lse_ref, acc_ref, m_ref, l_ref, *, causal: bool,
+                       alibi: bool, scale: float):
+    bq = q_ref.shape[-2]
+    bk = k_ref.shape[-2]
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+    nk = pl.num_programs(3)
+    slope = slope_ref[pl.program_id(1)]
+    q_off = qoff_ref[0]
+    k_off = qoff_ref[1]
+
+    @pl.when(kj == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # causal: blocks entirely above the diagonal contribute nothing
+    def _compute():
+        q = q_ref[0, 0]
+        kb = k_ref[0, 0]
+        vb = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        mask_tile = mask_ref[0, 0, :] if mask_ref is not None else None
+        s = s + _bias_tile(slope, qi, kj, bq, bk, causal, alibi, mask_tile,
+                           q_off, k_off)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    if causal:
+        pl.when(q_off + (qi + 1) * bq - 1 >= k_off + kj * bk)(_compute)
+    else:
+        _compute()
+
+    @pl.when(kj == nk - 1)
+    def _():
+        l = l_ref[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_ref[:] + jnp.log(l_safe)
+
+
+def _bwd_dq_kernel_stream(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref,
+                          do_ref, lse_ref, delta_ref, dq_ref, dq_acc_ref, *,
+                          causal: bool, alibi: bool, scale: float):
+    bq = q_ref.shape[-2]
+    bk = k_ref.shape[-2]
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+    nk = pl.num_programs(3)
+    slope = slope_ref[pl.program_id(1)]
+    q_off = qoff_ref[0]
+    k_off = qoff_ref[1]
+
+    @pl.when(kj == 0)
+    def _():
+        dq_acc_ref[:] = jnp.zeros_like(dq_acc_ref)
+
+    def _compute():
+        q = q_ref[0, 0]
+        kb = k_ref[0, 0]
+        vb = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        mask_tile = mask_ref[0, 0, :] if mask_ref is not None else None
+        s = s + _bias_tile(slope, qi, kj, bq, bk, causal, alibi, mask_tile,
+                           q_off, k_off)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, vb.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq_acc_ref[:] = dq_acc_ref[:] + jax.lax.dot_general(
+            ds.astype(kb.dtype), kb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        pl.when(q_off + (qi + 1) * bq - 1 >= k_off + kj * bk)(_compute)
+    else:
+        _compute()
+
+    @pl.when(kj == nk - 1)
+    def _():
+        dq_ref[0, 0] = (dq_acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_stream(slope_ref, qoff_ref, q_ref, k_ref, v_ref, mask_ref,
+                           do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                           dk_acc_ref, dv_acc_ref, *, causal: bool,
+                           alibi: bool, scale: float):
+    bk = k_ref.shape[-2]
+    bq = q_ref.shape[-2]
+    kj = pl.program_id(2)
+    i = pl.program_id(3)
+    nq = pl.num_programs(3)
+    slope = slope_ref[pl.program_id(1)]
+    q_off = qoff_ref[0]
+    k_off = qoff_ref[1]
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc_ref[:] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[:] = jnp.zeros_like(dv_acc_ref)
+
+    def _compute():
+        kb = k_ref[0, 0]
+        vb = v_ref[0, 0]
+        qb = q_ref[0, 0]
+        dob = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        mask_tile = mask_ref[0, 0, :] if mask_ref is not None else None
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + _bias_tile(slope, i, kj, bq, bk, causal, alibi, mask_tile,
+                           q_off, k_off)
+        p = jnp.exp(s - lse)
+        dv_acc_ref[:] = dv_acc_ref[:] + jax.lax.dot_general(
+            p, dob, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(dob, vb.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc_ref[:] = dk_acc_ref[:] + jax.lax.dot_general(
+            ds, qb.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        pl.when(q_off + (i + 1) * bq - 1 >= k_off + kj * bk)(_compute)
+    else:
+        _compute()
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0, 0] = (dk_acc_ref[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc_ref[:].astype(dv_ref.dtype)
+
+
+def _fwd_impl_stream(q, k, v, mask, slopes, q_offset, *, causal, alibi,
+                     scale):
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    if mask is not None and mask.ndim == 2:
+        mask = mask[:, None, :]
+    bq, bk = _choose_blocks(Sq, Sk)
+    grid = (B, H, Sq // bq, Sk // bk)
+    qspec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0))
+    kvspec = pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, j, 0))
+    in_specs = [qspec, kvspec, kvspec]
+    inputs = [q, k, v]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, h, i, j, *_: (b, 0, j)))
+        inputs.append(mask)
+    kernel = functools.partial(_fwd_kernel_stream, causal=causal, alibi=alibi,
+                               scale=scale)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 5)
+    out_specs = (
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=grid, in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32),
+                            pltpu.VMEM((bq, 1), jnp.float32),
+                            pltpu.VMEM((bq, 1), jnp.float32)]),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(slopes, q_offset, *inputs)
+    return o, lse
+
+
+def _bwd_impl_stream(q, k, v, mask, slopes, q_offset, o, lse, do, *, causal,
+                     alibi, scale, dlse=None):
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    if mask is not None and mask.ndim == 2:
+        mask = mask[:, None, :]
+    bq, bk = _choose_blocks(Sq, Sk)
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
+
+    qtile = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0))
+    vtile = pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j, *_: (b, h, i, 0))
+    ktile = pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, j, 0))
+    mask_k = pl.BlockSpec((1, 1, bk), lambda b, h, i, j, *_: (b, 0, j))
+
+    in_specs = [qtile, ktile, ktile]
+    inputs = [q, k, v]
+    if mask is not None:
+        in_specs.append(mask_k)
+        inputs.append(mask)
+    in_specs += [qtile, vtile, vtile]
+    kernel = functools.partial(_bwd_dq_kernel_stream, causal=causal,
+                               alibi=alibi, scale=scale)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 5)
+    dq = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(B, H, Sq // bq, Sk // bk),
+            in_specs=in_specs, out_specs=qtile,
+            scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)]),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(slopes, q_offset, *inputs, do, lse, delta)
+
+    # dk/dv: k tiles on dim 2, q streamed on dim 3
+    qstream = pl.BlockSpec((1, 1, bq, D), lambda b, h, j, i, *_: (b, h, i, 0))
+    vstream = pl.BlockSpec((1, 1, bq, 1), lambda b, h, j, i, *_: (b, h, i, 0))
+    kfixed = pl.BlockSpec((1, 1, bk, D), lambda b, h, j, i, *_: (b, h, j, 0))
+    mask_fixed = pl.BlockSpec((1, 1, bk), lambda b, h, j, i, *_: (b, 0, j))
+    in_specs = [qstream, kfixed, kfixed]
+    inputs = [q, k, v]
+    if mask is not None:
+        in_specs.append(mask_fixed)
+        inputs.append(mask)
+    in_specs += [qstream, vstream, vstream]
+    kernel = functools.partial(_bwd_dkv_kernel_stream, causal=causal,
+                               alibi=alibi, scale=scale)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 5)
+    dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(B, H, Sk // bk, Sq // bq),
+            in_specs=in_specs, out_specs=(kfixed, kfixed),
+            scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32),
+                            pltpu.VMEM((bk, D), jnp.float32)]),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Sk, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, H, Sk, D), v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(slopes, q_offset, *inputs, do, lse, delta)
+    return dq, dk, dv
+
+
 def _fwd_impl(q, k, v, mask, slopes, q_offset, *, causal, alibi, scale):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
+    if mask is not None and mask.ndim == 2:
+        # [B, 1, S]: Mosaic requires the block's second-to-last dim to be
+        # 8-divisible or equal to the array dim — a unit dim satisfies that
+        mask = mask[:, None, :]
+    if max(Sq, Sk) >= _stream_threshold():
+        return _fwd_impl_stream(q, k, v, mask, slopes, q_offset,
+                                causal=causal, alibi=alibi, scale=scale)
     bq, bk = _choose_blocks(Sq, Sk)
     grid = (B, H, Sq // bq)
     qspec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
@@ -216,7 +509,8 @@ def _fwd_impl(q, k, v, mask, slopes, q_offset, *, causal, alibi, scale):
     in_specs = [qspec, kvspec, kvspec]
     inputs = [q, k, v]
     if mask is not None:
-        in_specs.append(pl.BlockSpec((1, Sk), lambda b, h, i, *_: (b, 0)))
+        in_specs.append(
+            pl.BlockSpec((1, 1, Sk), lambda b, h, i, *_: (b, 0, 0)))
         inputs.append(mask)
     kernel = functools.partial(
         _fwd_kernel, block_k=bk, causal=causal, alibi=alibi, scale=scale,
@@ -257,6 +551,12 @@ def _bwd_impl(q, k, v, mask, slopes, q_offset, o, lse, do, *, causal, alibi,
               scale, dlse=None):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
+    if mask is not None and mask.ndim == 2:
+        mask = mask[:, None, :]
+    if max(Sq, Sk) >= _stream_threshold():
+        return _bwd_impl_stream(q, k, v, mask, slopes, q_offset, o, lse, do,
+                                causal=causal, alibi=alibi, scale=scale,
+                                dlse=dlse)
     bq, bk = _choose_blocks(Sq, Sk)
     delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
                     keepdims=True)  # [B, H, Sq, 1]
@@ -270,7 +570,7 @@ def _bwd_impl(q, k, v, mask, slopes, q_offset, o, lse, do, *, causal, alibi,
     qtile = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
     vtile = pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, *_: (b, h, i, 0))
     ktile = pl.BlockSpec((1, 1, bk, D), lambda b, h, j, *_: (b, h, j, 0))
-    mask_spec = pl.BlockSpec((1, Sk), lambda b, h, i, *_: (b, 0))
+    mask_spec = pl.BlockSpec((1, 1, Sk), lambda b, h, i, *_: (b, 0, 0))
 
     # dq: tile q, stream K/V
     in_specs = [qtile, kv_full, kv_full]
@@ -298,7 +598,8 @@ def _bwd_impl(q, k, v, mask, slopes, q_offset, o, lse, do, *, causal, alibi,
     in_specs = [q_full, ktile, ktile]
     inputs = [q, k, v]
     if mask is not None:
-        in_specs.append(pl.BlockSpec((1, bk), lambda b, h, j, *_: (b, j)))
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, h, j, *_: (b, 0, j)))
         inputs.append(mask)
     in_specs += [q_full, vec_full, vec_full]
     kernel = functools.partial(_bwd_dkv_kernel, block_q=bq, causal=causal,

@@ -234,3 +234,54 @@ def test_ring_flash_attention_causal_and_grads():
     g_f = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_r, g_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def _tp_sp_mesh(tp=2, sp=4):
+    devs = np.array(jax.devices()[: tp * sp]).reshape(1, 1, tp, 1, sp)
+    return Mesh(devs, ("dp", "fsdp", "tp", "pp", "sp"))
+
+
+def test_cp_flash_attention_tp_and_sp():
+    """Heads sharded over tp while the sequence is sharded over sp — the
+    shard_map wrapper must partition both axes at once (round-3 coverage:
+    combined tp>1 + sp>1 kernels)."""
+    q, k, v, mask = _qkv(seed=3)
+    mesh = _tp_sp_mesh(tp=2, sp=4)
+    bias = alibi_bias(4, 512) + padding_bias(mask)
+    ref = attention_ref(q, k, v, bias)
+    with mesh:
+        out = jax.jit(lambda *a: context_parallel_flash_attention(
+            *a[:3], mesh, attention_mask=a[3], alibi=True))(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ring_flash_attention_tp_and_sp():
+    from dna_tpu.ops.flash_attention import ring_flash_attention
+
+    q, k, v, mask = _qkv(seed=4)
+    mesh = _tp_sp_mesh(tp=2, sp=2)
+    bias = alibi_bias(4, 512) + padding_bias(mask)
+    ref = attention_ref(q, k, v, bias)
+    with mesh:
+        out = jax.jit(lambda *a: ring_flash_attention(
+            *a[:3], mesh, attention_mask=a[3], alibi=True))(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_tp_sp_training_step_dnabert2():
+    """Full MLM train step over a dp=2/tp=2/sp=2 mesh with the cp flash
+    kernel on the traced path (tp splits heads inside the shard_map)."""
+    from dna_tpu.config.core import MeshConfig
+    from dna_tpu.experiments import build, get_experiment
+    from dna_tpu.parallel.mesh import build_mesh
+    from dna_tpu.train.loop import TrainLoop
+
+    cfg = get_experiment("dnabert2_pretrain_tiny", [
+        "data.batch_size=4", "data.max_length=512", "train.steps=2",
+        "train.log_every=0", "model.use_flash=true", "model.n_heads=2",
+    ])
+    mesh = build_mesh(MeshConfig(dp=2, tp=2, sp=2))
+    exp = build(cfg, mesh=mesh)
+    loop = TrainLoop(exp, verbose=False)
+    res = loop.run()
+    assert np.isfinite(res.final_metrics["loss"])

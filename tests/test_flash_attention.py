@@ -97,3 +97,106 @@ def test_alibi_slopes_known_values():
                                rtol=1e-6)
     s12 = np.asarray(alibi_slopes(12))  # non-power-of-2 workaround
     assert len(s12) == 12 and (np.diff(s8) < 0).all()
+
+
+# --- fused all-heads small-S kernel (`ops/attention_small.py`) ---
+
+from dna_tpu.ops.attention_small import fused_small_attention
+
+
+@pytest.mark.parametrize("alibi,causal", [(False, False), (True, False),
+                                          (False, True), (True, True)])
+def test_small_forward_matches_ref(alibi, causal):
+    q, k, v = _rand_qkv(jax.random.key(3), B=3, S=128, H=4, D=64)
+    out = fused_small_attention(q, k, v, alibi=alibi, causal=causal)
+    bias = alibi_bias(q.shape[2], q.shape[1]) if alibi else None
+    ref = attention_ref(q, k, v, bias, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_small_forward_with_padding_mask():
+    q, k, v = _rand_qkv(jax.random.key(4), B=2, S=128, H=4, D=64)
+    mask = jnp.ones((2, 128), jnp.int32).at[:, 100:].set(0)
+    out = fused_small_attention(q, k, v, attention_mask=mask, alibi=True)
+    bias = alibi_bias(q.shape[2], 128) + padding_bias(mask)
+    ref = attention_ref(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out)[:, :100],
+                               np.asarray(ref)[:, :100], atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("alibi,causal", [(True, False), (False, True)])
+def test_small_grads_match_ref(alibi, causal):
+    q, k, v = _rand_qkv(jax.random.key(5), B=2, S=128, H=2, D=64)
+    mask = jnp.ones((2, 128), jnp.int32).at[:, 112:].set(0)
+
+    def loss_small(q, k, v):
+        o = fused_small_attention(q, k, v, attention_mask=mask, alibi=alibi,
+                                  causal=causal)
+        return (o ** 2).sum()
+
+    def loss_ref(q, k, v):
+        bias = padding_bias(mask)
+        if alibi:
+            bias = bias + alibi_bias(q.shape[2], q.shape[1])
+        return (attention_ref(q, k, v, bias, causal=causal) ** 2).sum()
+
+    gs = jax.grad(loss_small, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gs, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=f"d{name}")
+
+
+def test_small_bf16_close_to_fp32_ref():
+    q, k, v = _rand_qkv(jax.random.key(6), B=2, S=256, H=6, D=64,
+                        dtype=jnp.bfloat16)
+    out = fused_small_attention(q, k, v, alibi=True)
+    ref = attention_ref(q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32),
+                        alibi_bias(q.shape[2], q.shape[1]))
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+# --- K/V-streaming (4-D grid) long-L kernels ---
+
+
+@pytest.mark.parametrize("alibi,causal", [(False, False), (True, False),
+                                          (False, True)])
+def test_stream_forward_matches_resident(monkeypatch, alibi, causal):
+    q, k, v = _rand_qkv(jax.random.key(7), B=2, S=512, H=2, D=64)
+    mask = jnp.ones((2, 512), jnp.int32).at[:, 480:].set(0)
+    resident = flash_attention(q, k, v, attention_mask=mask, alibi=alibi,
+                               causal=causal)
+    monkeypatch.setenv("DNA_TPU_ATTN_STREAM_S", "256")
+    streamed = flash_attention(q, k, v, attention_mask=mask, alibi=alibi,
+                               causal=causal)
+    np.testing.assert_allclose(np.asarray(streamed)[:, :480],
+                               np.asarray(resident)[:, :480],
+                               atol=2e-5, rtol=2e-5)
+    bias = padding_bias(mask)
+    if alibi:
+        bias = bias + alibi_bias(q.shape[2], q.shape[1])
+    ref = attention_ref(q, k, v, bias, causal=causal)
+    np.testing.assert_allclose(np.asarray(streamed)[:, :480],
+                               np.asarray(ref)[:, :480], atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_stream_grads_match_ref(monkeypatch, causal):
+    monkeypatch.setenv("DNA_TPU_ATTN_STREAM_S", "256")
+    q, k, v = _rand_qkv(jax.random.key(8), B=1, S=512, H=2, D=64)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, alibi=True, causal=causal) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        bias = alibi_bias(q.shape[2], q.shape[1])
+        return (attention_ref(q, k, v, bias, causal=causal) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=f"d{name}")
