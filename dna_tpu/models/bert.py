@@ -31,7 +31,7 @@ from dna_tpu.models.layers import (
     dense,
     layer_norm,
 )
-from dna_tpu.ops.attention import multihead_attention
+from dna_tpu.ops.attention import multihead_attention_qkv
 
 
 class BertSelfAttention(nn.Module):
@@ -46,12 +46,10 @@ class BertSelfAttention(nn.Module):
         qkv = dense(3 * cfg.d_model, ("embed", "heads"), dtype=dtype,
                     name="wqkv")(x)
         qkv = qkv.reshape(x.shape[0], x.shape[1], 3, cfg.n_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         impl = "auto" if cfg.use_flash else "ref"
-        out = multihead_attention(
-            q, k, v, attention_mask=attention_mask, alibi=cfg.alibi,
+        out = multihead_attention_qkv(
+            qkv, attention_mask=attention_mask, alibi=cfg.alibi,
             causal=False, impl=impl)
-        out = out.reshape(x.shape[0], x.shape[1], cfg.d_model)
         out = nn.with_logical_constraint(out, ("batch", "seq", "act_embed"))
         return dense(cfg.d_model, ("heads", "embed"), dtype=dtype, name="out")(out)
 

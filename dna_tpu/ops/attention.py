@@ -110,3 +110,39 @@ def multihead_attention(
                              softmax_scale=softmax_scale)
 
     return _attn(q, k, v, bias)
+
+
+def multihead_attention_qkv(
+    qkv: jax.Array,  # [B, S, 3, H, D] — packed fused-projection output
+    *,
+    attention_mask=None,
+    alibi: bool = False,
+    causal: bool = False,
+    softmax_scale=None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Attention on the packed QKV projection output; returns [B, S, H·D].
+
+    When the fused small-S kernel applies, the packed tensor is consumed
+    directly (q/k/v live at 128-aligned lane offsets) — XLA's q/k/v
+    slice+reshape copies and the backward dqkv re-assembly disappear
+    (~3.6 GB/step at the DNABERT-2 bench point, `scripts/probe_hlo.py`).
+    Otherwise unpacks and falls back to `multihead_attention`.
+    """
+    import os as _os
+
+    from dna_tpu.ops import attention_small
+
+    B, S, three, H, D = qkv.shape
+    sp_mesh = _ambient_sp_mesh()
+    if (impl == "auto" and sp_mesh is None and S < 512
+            and attention_small.supports_qkv(S, H, D)
+            and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
+        return attention_small.fused_small_attention_qkv(
+            qkv, H, attention_mask=attention_mask, alibi=alibi,
+            causal=causal, softmax_scale=softmax_scale)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    out = multihead_attention(
+        q, k, v, attention_mask=attention_mask, alibi=alibi, causal=causal,
+        softmax_scale=softmax_scale, impl=impl)
+    return out.reshape(B, S, H * D)

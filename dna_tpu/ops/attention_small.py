@@ -252,6 +252,112 @@ def _use_tile(head_dim: int) -> bool:
     return impl == "tile" and head_dim < 128 and 128 % head_dim == 0
 
 
+# ---------------------------------------------------------------------------
+# Packed-QKV variant: consumes the fused QKV projection's output
+# [B, S, 3·H·D] directly (q, k, v live at 128-aligned lane offsets 0, HD,
+# 2·HD) and emits a single dQKV cotangent. Slicing q/k/v out of the packed
+# tensor in XLA costs real copies — measured 1.8 GB of slice+reshape writes
+# plus 0.9 GB of backward add_any per step at the DNABERT-2 bench point
+# (`scripts/probe_hlo.py`); done in-kernel they cost nothing.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, o_ref, *, n_heads: int,
+                    head_dim: int, causal: bool, alibi: bool, scale: float):
+    S = qkv_ref.shape[1]
+    G = qkv_ref.shape[0]
+    HD = qkv_ref.shape[2] // 3
+    T = max(1, 128 // head_dim)
+    width = head_dim * T  # 128 when D <= 128
+    rel = _alibi_rel(S) if alibi else None
+    lane_masks = _lane_head_masks(S, T, qkv_ref.dtype) if T > 1 else None
+    for g in range(G):
+        mask_row = mask_ref[g, 0, :] if mask_ref is not None else None
+        bias = _base_bias(S, mask_row, causal)
+        for t in range(HD // width):
+            qp = qkv_ref[g, :, pl.ds(t * width, width)]
+            kp = qkv_ref[g, :, pl.ds(HD + t * width, width)]
+            vp = qkv_ref[g, :, pl.ds(2 * HD + t * width, width)]
+            o_tile = jnp.zeros((S, width), jnp.float32)
+            for j in range(T):
+                h = t * T + j
+                qj = qp * lane_masks[j] if T > 1 else qp
+                s = jax.lax.dot_general(
+                    qj, kp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = s + bias
+                if alibi:
+                    s = s - slope_ref[h] * rel
+                p = _softmax_p(s)
+                of = jax.lax.dot_general(
+                    p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if T > 1:
+                    of = of * lane_masks[j].astype(jnp.float32)
+                o_tile = o_tile + of if T > 1 else of
+            o_ref[g, :, pl.ds(t * width, width)] = o_tile.astype(o_ref.dtype)
+
+
+def _bwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, do_ref, dqkv_ref, *,
+                    n_heads: int, head_dim: int, causal: bool, alibi: bool,
+                    scale: float):
+    S = qkv_ref.shape[1]
+    G = qkv_ref.shape[0]
+    HD = qkv_ref.shape[2] // 3
+    T = max(1, 128 // head_dim)
+    width = head_dim * T
+    rel = _alibi_rel(S) if alibi else None
+    lane_masks = _lane_head_masks(S, T, qkv_ref.dtype) if T > 1 else None
+    for g in range(G):
+        mask_row = mask_ref[g, 0, :] if mask_ref is not None else None
+        bias = _base_bias(S, mask_row, causal)
+        for t in range(HD // width):
+            qp = qkv_ref[g, :, pl.ds(t * width, width)]
+            kp = qkv_ref[g, :, pl.ds(HD + t * width, width)]
+            vp = qkv_ref[g, :, pl.ds(2 * HD + t * width, width)]
+            dop = do_ref[g, :, pl.ds(t * width, width)]
+            dq_t = jnp.zeros((S, width), jnp.float32)
+            dk_t = jnp.zeros((S, width), jnp.float32)
+            dv_t = jnp.zeros((S, width), jnp.float32)
+            for j in range(T):
+                h = t * T + j
+                mj = lane_masks[j] if T > 1 else None
+                qj = qp * mj if T > 1 else qp
+                doj = dop * mj if T > 1 else dop
+                kj = kp * mj if T > 1 else kp
+                s = jax.lax.dot_general(
+                    qj, kp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = s + bias
+                if alibi:
+                    s = s - slope_ref[h] * rel
+                p = _softmax_p(s)
+                pb = p.astype(vp.dtype)
+                of = jax.lax.dot_general(pb, vp, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                delta = jnp.sum(doj.astype(jnp.float32) * of, axis=-1,
+                                keepdims=True)
+                dp = jax.lax.dot_general(doj, vp, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                ds = (p * (dp - delta) * scale).astype(qp.dtype)
+                dq_j = jax.lax.dot_general(
+                    ds, kj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dk_j = jax.lax.dot_general(
+                    ds, qj, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dv_j = jax.lax.dot_general(
+                    pb, doj, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dq_t, dk_t, dv_t = dq_t + dq_j, dk_t + dk_j, dv_t + dv_j
+            dqkv_ref[g, :, pl.ds(t * width, width)] = (
+                dq_t.astype(dqkv_ref.dtype))
+            dqkv_ref[g, :, pl.ds(HD + t * width, width)] = (
+                dk_t.astype(dqkv_ref.dtype))
+            dqkv_ref[g, :, pl.ds(2 * HD + t * width, width)] = (
+                dv_t.astype(dqkv_ref.dtype))
+
+
 def _mask_none_wrapper(kernel, mask_pos, *refs, **kw):
     refs = list(refs)
     refs.insert(mask_pos, None)
@@ -357,6 +463,119 @@ def _small_bwd(n_heads, causal, alibi, scale, res, do):
 
 
 _small.defvjp(_small_fwd, _small_bwd)
+
+
+def _fwd_impl_qkv(qkv, mask, slopes, *, n_heads, causal, alibi, scale):
+    B, S, HD3 = qkv.shape
+    HD = HD3 // 3
+    head_dim = HD // n_heads
+    G = _group(B, S, HD, n_bufs=4)
+    qkv_spec = pl.BlockSpec((G, S, HD3), lambda b, *_: (b, 0, 0))
+    o_spec = pl.BlockSpec((G, S, HD), lambda b, *_: (b, 0, 0))
+    in_specs = [qkv_spec]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((G, 1, S), lambda b, *_: (b, 0, 0)))
+    inputs = [qkv] + ([mask] if mask is not None else [])
+    kernel = functools.partial(_fwd_kernel_qkv, n_heads=n_heads,
+                               head_dim=head_dim, causal=causal, alibi=alibi,
+                               scale=scale)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 2)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B // G,), in_specs=in_specs,
+            out_specs=o_spec),
+        out_shape=jax.ShapeDtypeStruct((B, S, HD), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(slopes, *inputs)
+
+
+def _bwd_impl_qkv(qkv, mask, slopes, do, *, n_heads, causal, alibi, scale):
+    B, S, HD3 = qkv.shape
+    HD = HD3 // 3
+    head_dim = HD // n_heads
+    G = _group(B, S, HD, n_bufs=8)
+    qkv_spec = pl.BlockSpec((G, S, HD3), lambda b, *_: (b, 0, 0))
+    o_spec = pl.BlockSpec((G, S, HD), lambda b, *_: (b, 0, 0))
+    in_specs = [qkv_spec]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((G, 1, S), lambda b, *_: (b, 0, 0)))
+    in_specs.append(o_spec)  # do
+    inputs = [qkv] + ([mask] if mask is not None else []) + [do]
+    kernel = functools.partial(_bwd_kernel_qkv, n_heads=n_heads,
+                               head_dim=head_dim, causal=causal, alibi=alibi,
+                               scale=scale)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 2)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B // G,), in_specs=in_specs,
+            out_specs=qkv_spec),
+        out_shape=jax.ShapeDtypeStruct((B, S, HD3), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(slopes, *inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _small_qkv(qkv, mask, slopes, n_heads, causal, alibi, scale):
+    return _fwd_impl_qkv(qkv, mask, slopes, n_heads=n_heads, causal=causal,
+                         alibi=alibi, scale=scale)
+
+
+def _small_qkv_fwd(qkv, mask, slopes, n_heads, causal, alibi, scale):
+    o = _fwd_impl_qkv(qkv, mask, slopes, n_heads=n_heads, causal=causal,
+                      alibi=alibi, scale=scale)
+    return o, (qkv, mask, slopes)
+
+
+def _small_qkv_bwd(n_heads, causal, alibi, scale, res, do):
+    qkv, mask, slopes = res
+    dqkv = _bwd_impl_qkv(qkv, mask, slopes, do, n_heads=n_heads,
+                         causal=causal, alibi=alibi, scale=scale)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dqkv, dmask, jnp.zeros_like(slopes)
+
+
+_small_qkv.defvjp(_small_qkv_fwd, _small_qkv_bwd)
+
+
+def supports_qkv(S: int, H: int, D: int) -> bool:
+    return supports(S, H, D) and D <= 128 and (128 % D == 0 or D == 128)
+
+
+def fused_small_attention_qkv(
+    qkv: jax.Array,  # [B, S, 3, H, D] or [B, S, 3*H*D] — packed projection
+    n_heads: int,
+    *,
+    attention_mask: Optional[jax.Array] = None,  # [B, S] 1=keep
+    alibi: bool = False,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+) -> jax.Array:
+    """Attention straight from the fused QKV projection output; returns
+    [B, S, H·D]. Avoids the q/k/v slice + reshape copies entirely."""
+    if qkv.ndim == 5:
+        B, S, three, H, D = qkv.shape
+        assert three == 3 and H == n_heads
+        qkv = qkv.reshape(B, S, 3 * H * D)
+    B, S, HD3 = qkv.shape
+    D = HD3 // 3 // n_heads
+    if not supports_qkv(S, n_heads, D):
+        raise ValueError(f"fused_small_attention_qkv: unsupported "
+                         f"S={S} H={n_heads} D={D}")
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    slopes = alibi_slopes(n_heads) if alibi else jnp.zeros((n_heads,),
+                                                           jnp.float32)
+    mask = None
+    if attention_mask is not None:
+        mask = attention_mask.astype(jnp.int32)[:, None, :]
+    return _small_qkv(qkv, mask, slopes, n_heads, causal, alibi, scale)
 
 
 def supports(S: int, H: int, D: int) -> bool:

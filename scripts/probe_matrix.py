@@ -17,12 +17,12 @@ from dna_tpu.train.step import make_train_step
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
-CONFIGS = [
-    ("baseline", {"DNA_TPU_SMALL_ATTN": "0"}),
-    ("small_attn", {"DNA_TPU_SMALL_ATTN": "1"}),
-    ("ln_bf16", {"DNA_TPU_SMALL_ATTN": "0", "DNA_TPU_LN_DTYPE": "bfloat16"}),
-    ("small+ln", {"DNA_TPU_SMALL_ATTN": "1", "DNA_TPU_LN_DTYPE": "bfloat16"}),
-]
+import json
+CONFIGS = json.loads(os.environ.get("PROBE_CONFIGS", """[
+    ["ref", {"DNA_TPU_SMALL_ATTN": "0"}],
+    ["tile", {"DNA_TPU_SMALL_ATTN": "1"}],
+    ["slice", {"DNA_TPU_SMALL_ATTN": "1", "DNA_TPU_SMALL_ATTN_IMPL": "slice"}]
+]"""))
 
 cfg = get_experiment("dnabert2_pretrain", [
     f"data.batch_size={B}", f"data.max_length={S}",
@@ -36,7 +36,8 @@ loader = ShardedLoader(exp.dataset, B, seed=0)
 batches = [b for _, b in zip(range(2), loader)]
 
 for name, env in CONFIGS:
-    for k in ("DNA_TPU_SMALL_ATTN", "DNA_TPU_LN_DTYPE"):
+    for k in ("DNA_TPU_SMALL_ATTN", "DNA_TPU_LN_DTYPE",
+              "DNA_TPU_SMALL_ATTN_IMPL", "DNA_TPU_SMALL_ATTN_G"):
         os.environ.pop(k, None)
     os.environ.update(env)
     state, sh = create_train_state(init, exp.tx, mesh, exp.rules,

@@ -200,3 +200,56 @@ def test_stream_grads_match_ref(monkeypatch, causal):
     for a, b, name in zip(gf, gr, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4, err_msg=f"d{name}")
+
+
+# --- packed-QKV small kernel ---
+
+from dna_tpu.ops.attention_small import fused_small_attention_qkv
+
+
+@pytest.mark.parametrize("alibi,causal", [(True, False), (False, True),
+                                          (True, True)])
+def test_small_qkv_forward_matches_ref(alibi, causal):
+    q, k, v = _rand_qkv(jax.random.key(9), B=4, S=128, H=4, D=64)
+    mask = jnp.ones((4, 128), jnp.int32).at[:, 112:].set(0)
+    qkv = jnp.stack([q, k, v], axis=2)  # [B, S, 3, H, D]
+    out = fused_small_attention_qkv(qkv, 4, attention_mask=mask, alibi=alibi,
+                                    causal=causal)
+    bias = padding_bias(mask)
+    if alibi:
+        bias = bias + alibi_bias(4, 128)
+    ref = attention_ref(q, k, v, bias, causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref.reshape(4, 128, -1)),
+        atol=2e-5, rtol=2e-5)
+
+
+def test_small_qkv_grads_match_ref():
+    q, k, v = _rand_qkv(jax.random.key(10), B=2, S=128, H=2, D=64)
+    mask = jnp.ones((2, 128), jnp.int32).at[:, 96:].set(0)
+
+    def loss_qkv(q, k, v):
+        qkv = jnp.stack([q, k, v], axis=2)
+        o = fused_small_attention_qkv(qkv, 2, attention_mask=mask, alibi=True)
+        return (o ** 2).sum()
+
+    def loss_ref(q, k, v):
+        bias = padding_bias(mask) + alibi_bias(2, 128)
+        return (attention_ref(q, k, v, bias) ** 2).sum()
+
+    gq = jax.grad(loss_qkv, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gq, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=f"d{name}")
+
+
+def test_small_qkv_d128_head_loop():
+    # D=128: T=1 path (no lane masks)
+    q, k, v = _rand_qkv(jax.random.key(11), B=2, S=128, H=2, D=128)
+    qkv = jnp.stack([q, k, v], axis=2)
+    out = fused_small_attention_qkv(qkv, 2, causal=True)
+    ref = attention_ref(q, k, v, None, causal=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref.reshape(2, 128, -1)),
+                               atol=2e-5, rtol=2e-5)
