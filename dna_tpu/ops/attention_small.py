@@ -262,8 +262,21 @@ def _use_tile(head_dim: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _cat_bias(bias, rel, slope_ref, t, T, alibi):
+    """[T·S, S] bias: the shared pad/causal bias stacked per head with each
+    head's ALiBi slope applied (heads ride the sublane axis)."""
+    if not alibi:
+        return jnp.concatenate([bias] * T, axis=0) if T > 1 else bias
+    parts = [bias - slope_ref[t * T + j] * rel for j in range(T)]
+    return jnp.concatenate(parts, axis=0) if T > 1 else parts[0]
+
+
 def _fwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, o_ref, *, n_heads: int,
                     head_dim: int, causal: bool, alibi: bool, scale: float):
+    # Heads within a 128-lane tile are STACKED along sublanes ([T·S, 128]):
+    # one matmul and one softmax per algebra step for the whole tile, with
+    # lane masks on the *contraction operand* isolating each head. Halves
+    # the matmul/softmax issue count vs a per-head loop.
     S = qkv_ref.shape[1]
     G = qkv_ref.shape[0]
     HD = qkv_ref.shape[2] // 3
@@ -278,23 +291,25 @@ def _fwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, o_ref, *, n_heads: int,
             qp = qkv_ref[g, :, pl.ds(t * width, width)]
             kp = qkv_ref[g, :, pl.ds(HD + t * width, width)]
             vp = qkv_ref[g, :, pl.ds(2 * HD + t * width, width)]
-            o_tile = jnp.zeros((S, width), jnp.float32)
-            for j in range(T):
-                h = t * T + j
-                qj = qp * lane_masks[j] if T > 1 else qp
-                s = jax.lax.dot_general(
-                    qj, kp, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                s = s + bias
-                if alibi:
-                    s = s - slope_ref[h] * rel
-                p = _softmax_p(s)
-                of = jax.lax.dot_general(
-                    p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                if T > 1:
-                    of = of * lane_masks[j].astype(jnp.float32)
-                o_tile = o_tile + of if T > 1 else of
+            if T > 1:
+                q_cat = jnp.concatenate(
+                    [qp * lane_masks[j] for j in range(T)], axis=0)
+            else:
+                q_cat = qp
+            s = jax.lax.dot_general(
+                q_cat, kp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [T·S, S]
+            s = s + _cat_bias(bias, rel, slope_ref, t, T, alibi)
+            p = _softmax_p(s)
+            o_cat = jax.lax.dot_general(
+                p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [T·S, width]
+            if T > 1:
+                o_tile = sum(o_cat[j * S:(j + 1) * S]
+                             * lane_masks[j].astype(jnp.float32)
+                             for j in range(T))
+            else:
+                o_tile = o_cat
             o_ref[g, :, pl.ds(t * width, width)] = o_tile.astype(o_ref.dtype)
 
 
@@ -316,40 +331,46 @@ def _bwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, do_ref, dqkv_ref, *,
             kp = qkv_ref[g, :, pl.ds(HD + t * width, width)]
             vp = qkv_ref[g, :, pl.ds(2 * HD + t * width, width)]
             dop = do_ref[g, :, pl.ds(t * width, width)]
-            dq_t = jnp.zeros((S, width), jnp.float32)
-            dk_t = jnp.zeros((S, width), jnp.float32)
-            dv_t = jnp.zeros((S, width), jnp.float32)
-            for j in range(T):
-                h = t * T + j
-                mj = lane_masks[j] if T > 1 else None
-                qj = qp * mj if T > 1 else qp
-                doj = dop * mj if T > 1 else dop
-                kj = kp * mj if T > 1 else kp
-                s = jax.lax.dot_general(
-                    qj, kp, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                s = s + bias
-                if alibi:
-                    s = s - slope_ref[h] * rel
-                p = _softmax_p(s)
-                pb = p.astype(vp.dtype)
-                of = jax.lax.dot_general(pb, vp, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                delta = jnp.sum(doj.astype(jnp.float32) * of, axis=-1,
-                                keepdims=True)
-                dp = jax.lax.dot_general(doj, vp, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                ds = (p * (dp - delta) * scale).astype(qp.dtype)
-                dq_j = jax.lax.dot_general(
-                    ds, kj, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dk_j = jax.lax.dot_general(
-                    ds, qj, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dv_j = jax.lax.dot_general(
-                    pb, doj, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dq_t, dk_t, dv_t = dq_t + dq_j, dk_t + dk_j, dv_t + dv_j
+            if T > 1:
+                q_cat = jnp.concatenate(
+                    [qp * lane_masks[j] for j in range(T)], axis=0)
+                do_cat = jnp.concatenate(
+                    [dop * lane_masks[j] for j in range(T)], axis=0)
+            else:
+                q_cat, do_cat = qp, dop
+            s = jax.lax.dot_general(
+                q_cat, kp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s + _cat_bias(bias, rel, slope_ref, t, T, alibi)
+            p = _softmax_p(s)                 # [T·S, S]
+            pb = p.astype(vp.dtype)
+            # o recomputed stacked: head j's output sits in its own lanes of
+            # rows [jS, (j+1)S) — exactly where the masked do_cat reads it
+            o_cat = jax.lax.dot_general(pb, vp, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            delta = jnp.sum(do_cat.astype(jnp.float32) * o_cat, axis=-1,
+                            keepdims=True)    # [T·S, 1]
+            dp = jax.lax.dot_general(do_cat, vp, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = (p * (dp - delta) * scale).astype(qp.dtype)
+            # dq: unmasked kp puts head j's grad in its own lanes; mask+sum
+            dq_cat = jax.lax.dot_general(
+                ds, kp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if T > 1:
+                dq_t = sum(dq_cat[j * S:(j + 1) * S]
+                           * lane_masks[j].astype(jnp.float32)
+                           for j in range(T))
+            else:
+                dq_t = dq_cat
+            # dk/dv: contracting over the stacked T·S rows sums the per-head
+            # masked contributions in one matmul
+            dk_t = jax.lax.dot_general(
+                ds, q_cat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv_t = jax.lax.dot_general(
+                pb, do_cat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             dqkv_ref[g, :, pl.ds(t * width, width)] = (
                 dq_t.astype(dqkv_ref.dtype))
             dqkv_ref[g, :, pl.ds(HD + t * width, width)] = (
