@@ -42,10 +42,11 @@ class MHAMixer(nn.Module):
         qkv = dense(3 * cfg.d_model, ("embed", "heads"), dtype=dtype,
                     name="wqkv")(x)
         qkv = qkv.reshape(x.shape[0], x.shape[1], 3, cfg.n_heads, head_dim)
-        out = multihead_attention(
-            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], causal=self.causal,
-            alibi=False, impl="auto" if cfg.use_flash else "ref")
-        out = out.reshape(x.shape[0], x.shape[1], cfg.d_model)
+        from dna_tpu.ops.attention import multihead_attention_qkv
+
+        out = multihead_attention_qkv(
+            qkv, causal=self.causal, alibi=False,
+            impl="auto" if cfg.use_flash else "ref")
         return dense(cfg.d_model, ("heads", "embed"), dtype=dtype,
                      name="out_proj")(out)
 
