@@ -169,6 +169,9 @@ class ModelConfig:
     hyena_filter_order: int = 64
     hyena_filter_emb_dim: int = 33
     hyena_filter_shift: float = 0.0  # 0.05 for HF HyenaDNA checkpoints
+    # block-local long conv: L split into z independent chunks inside the
+    # operator (reference `hyena.py:343,358-360`)
+    hyena_num_blocks: int = 1
     short_filter_len: int = 3
     # mamba / caduceus
     d_state: int = 16

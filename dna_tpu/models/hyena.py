@@ -156,12 +156,31 @@ class HyenaOperator(nn.Module):
         splits = jnp.split(xc, cfg.order + 1, axis=-1)
         *gates, v = splits
 
+        # num_blocks > 1: the long conv becomes block-local — L is split into
+        # z independent chunks and each is convolved with the filter truncated
+        # to the chunk length (reference `hyena.py:358-360,448-453`: the
+        # `(z l)` rearrange before the recurrence). The short conv above still
+        # crosses block boundaries, exactly as in the reference (it runs
+        # before the rearrange). Since the filter MLP is a pointwise function
+        # of position, filter(L/z) == filter(L)[: L/z].
+        z = cfg.num_blocks
+        if z > 1:
+            if l_filter % z:
+                raise ValueError(
+                    f"sequence length {l_filter} not divisible by "
+                    f"num_blocks={z}")
+            l_block = l_filter // z
+            v = v.reshape(B * z, l_block, d)
+            gates = [g.reshape(B * z, l_block, d) for g in gates]
+        else:
+            l_block = l_filter
+
         k = HyenaFilter(
             d_filter=d * (cfg.order - 1), emb_dim=cfg.filter_emb_dim,
             filter_order=cfg.filter_order, seq_len=cfg.l_max,
             shift=cfg.filter_shift,
-            name="hyena_filter")(l_filter)  # [L, d*(order-1)]
-        k = k.reshape(l_filter, cfg.order - 1, d)  # order-major split
+            name="hyena_filter")(l_block)  # [L, d*(order-1)]
+        k = k.reshape(l_block, cfg.order - 1, d)  # order-major split
         filt_bias = self.param(
             "hyena_filter_bias",
             nn.with_logical_partitioning(nn.initializers.normal(1.0), (None,)),
@@ -179,6 +198,8 @@ class HyenaOperator(nn.Module):
                         bidirectional=cfg.bidirectional).astype(cfg.dtype)
 
         y = v * gates[0]
+        if z > 1:
+            y = y.reshape(B, l_filter, d)
         y = nn.with_logical_constraint(y, ("batch", "seq", "act_embed"))
         return dense(d, ("heads", "embed"), dtype=cfg.dtype, name="out_proj")(y)
 
@@ -192,6 +213,7 @@ def _hyena(cfg: ModelConfig, l_max: int, causal: bool = True):
         filter_order=cfg.hyena_filter_order,
         filter_emb_dim=cfg.hyena_filter_emb_dim,
         short_filter_order=cfg.short_filter_len, dropout=cfg.dropout,
+        num_blocks=cfg.hyena_num_blocks,
         bidirectional=not causal,
         filter_shift=cfg.hyena_filter_shift,
         dtype=jnp.dtype(cfg.dtype))

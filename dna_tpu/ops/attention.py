@@ -30,6 +30,13 @@ def _ambient_sp_mesh():
     return ambient_mesh("sp")
 
 
+def _ambient_tp_mesh():
+    """Ambient mesh with tp > 1, if any (small-kernel dispatch guard)."""
+    from dna_tpu.parallel.mesh import ambient_mesh
+
+    return ambient_mesh("tp")
+
+
 def multihead_attention(
     q: jax.Array,  # [B, S, H, D]
     k: jax.Array,
@@ -45,6 +52,7 @@ def multihead_attention(
 
     B, S, H, D = q.shape
     sp_mesh = _ambient_sp_mesh()
+    tp_mesh = _ambient_tp_mesh()
     if impl == "auto":
         # Flash pays off once the S×S score materialization dominates; at
         # short S (DNABERT-2's 128-token batches) the fused all-heads kernel
@@ -54,9 +62,12 @@ def multihead_attention(
         from dna_tpu.ops import attention_small
 
         impl = "flash" if (D % 128 == 0 or D in (64,)) and S >= 512 else "ref"
-        if (impl == "ref" and sp_mesh is None
+        if (impl == "ref" and sp_mesh is None and tp_mesh is None
                 and attention_small.supports(S, H, D)
                 and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
+            # tp>1 guard: the small kernel's custom call is replicated (not
+            # partitioned) by GSPMD along the head-sharded lane dim — correct
+            # but it silently all-gathers heads; ref attention partitions.
             impl = "small"
         if sp_mesh is not None and impl == "flash":
             # local q tiles must still be 128-aligned under sp sharding
@@ -135,7 +146,8 @@ def multihead_attention_qkv(
 
     B, S, three, H, D = qkv.shape
     sp_mesh = _ambient_sp_mesh()
-    if (impl == "auto" and sp_mesh is None and S < 512
+    if (impl == "auto" and sp_mesh is None and _ambient_tp_mesh() is None
+            and S < 512
             and attention_small.supports_qkv(S, H, D)
             and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
         return attention_small.fused_small_attention_qkv(

@@ -476,11 +476,12 @@ def _small_fwd(q, k, v, mask, slopes, n_heads, causal, alibi, scale):
 
 
 def _small_bwd(n_heads, causal, alibi, scale, res, do):
+    from dna_tpu.ops.flash_attention import _zero_ct
+
     q, k, v, mask, slopes = res
     dq, dk, dv = _bwd_impl(q, k, v, mask, slopes, do, n_heads=n_heads,
                            causal=causal, alibi=alibi, scale=scale)
-    dmask = None if mask is None else jnp.zeros_like(mask)
-    return dq, dk, dv, dmask, jnp.zeros_like(slopes)
+    return dq, dk, dv, _zero_ct(mask), jnp.zeros_like(slopes)
 
 
 _small.defvjp(_small_fwd, _small_bwd)
@@ -556,11 +557,12 @@ def _small_qkv_fwd(qkv, mask, slopes, n_heads, causal, alibi, scale):
 
 
 def _small_qkv_bwd(n_heads, causal, alibi, scale, res, do):
+    from dna_tpu.ops.flash_attention import _zero_ct
+
     qkv, mask, slopes = res
     dqkv = _bwd_impl_qkv(qkv, mask, slopes, do, n_heads=n_heads,
                          causal=causal, alibi=alibi, scale=scale)
-    dmask = None if mask is None else jnp.zeros_like(mask)
-    return dqkv, dmask, jnp.zeros_like(slopes)
+    return dqkv, _zero_ct(mask), jnp.zeros_like(slopes)
 
 
 _small_qkv.defvjp(_small_qkv_fwd, _small_qkv_bwd)
@@ -601,9 +603,12 @@ def fused_small_attention_qkv(
 
 def supports(S: int, H: int, D: int) -> bool:
     """Shapes this kernel handles: 128-aligned packed lanes, and the
-    backward pass's 7 double-buffered [S, H·D] bf16 blocks (plus fp32 [S, S]
-    temporaries) fit the ~16 MB VMEM budget at G=1."""
-    vmem = 7 * 2 * S * H * D * 2 + 6 * S * S * 4
+    backward pass's 7 double-buffered [S, H·D] bf16 blocks (plus fp32
+    temporaries) fit the ~16 MB VMEM budget at G=1. The tile/packed-QKV
+    kernels hold stacked [T·S, S] fp32 temporaries (T heads per 128-lane
+    tile), so the temporaries term scales with T."""
+    T = max(1, 128 // D) if 128 % D == 0 else 1
+    vmem = 7 * 2 * S * H * D * 2 + 6 * T * S * S * 4
     return (S % 128 == 0 and (H * D) % 128 == 0 and D <= 256
             and vmem <= 12 * 1024 * 1024)
 

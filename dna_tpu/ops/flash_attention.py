@@ -633,12 +633,21 @@ def _flash_fwd(q, k, v, mask, slopes, q_offset, causal, alibi, scale):
     return o, (q, k, v, mask, slopes, q_offset, o, lse)
 
 
+def _zero_ct(x):
+    """Zero cotangent matching JAX's tangent type (float0 for int primals —
+    plain int zeros_like is rejected by stricter custom_vjp checking)."""
+    if x is None:
+        return None
+    from jax.custom_derivatives import zero_from_primal
+
+    return zero_from_primal(x)
+
+
 def _flash_bwd(causal, alibi, scale, res, do):
     q, k, v, mask, slopes, q_offset, o, lse = res
     dq, dk, dv = _bwd_impl(q, k, v, mask, slopes, q_offset, o, lse, do,
                            causal=causal, alibi=alibi, scale=scale)
-    dmask = None if mask is None else jnp.zeros_like(mask)
-    return dq, dk, dv, dmask, jnp.zeros_like(slopes), jnp.zeros_like(q_offset)
+    return dq, dk, dv, _zero_ct(mask), jnp.zeros_like(slopes), _zero_ct(q_offset)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -673,9 +682,8 @@ def _flash_lse_bwd(causal, alibi, scale, res, cts):
     dq, dk, dv = _bwd_impl(q, k, v, mask, slopes, offsets, o, lse, do,
                            causal=causal, alibi=alibi, scale=scale,
                            dlse=dlse)
-    dmask = None if mask is None else jnp.zeros_like(mask)
-    return (dq, dk, dv, dmask, jnp.zeros_like(slopes),
-            jnp.zeros_like(offsets))
+    return (dq, dk, dv, _zero_ct(mask), jnp.zeros_like(slopes),
+            _zero_ct(offsets))
 
 
 _flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)

@@ -171,6 +171,7 @@ class TrainLoop:
             self.shardings, ema=exp.cfg.train.ema,
             deterministic=deterministic,
             mlm_gather=getattr(exp.cfg.model, "mlm_gather", 0.0),
+            mlm_probability=getattr(exp.cfg.data, "mlm_probability", None),
             track_param_norms=exp.cfg.train.track_param_norms)
         self.eval_step = make_eval_step(exp.model, exp.task_fn, self.mesh,
                                         exp.rules, self.shardings)
@@ -296,6 +297,12 @@ class TrainLoop:
                 if not np.isfinite(loss):
                     raise FloatingPointError(
                         f"non-finite loss {loss} at step {step_i + 1}")
+                dropped = float(metrics.get("mlm_dropped_positions", 0.0))
+                if dropped > 0:
+                    raise ValueError(
+                        f"mlm_gather budget overflow: {int(dropped)} masked "
+                        f"positions dropped at step {step_i + 1} — raise "
+                        f"model.mlm_gather or check data.mlm_probability")
 
             if cfg.train.log_every and (step_i + 1) % cfg.train.log_every == 0:
                 now = time.perf_counter()

@@ -23,6 +23,26 @@ from dna_tpu.train.state import TrainState
 Batch = Dict[str, jax.Array]
 
 
+def mlm_budget(seq_len: int, mlm_gather: float,
+               mlm_probability: Optional[float] = None) -> int:
+    """Static per-row MLM gather budget.
+
+    The configured `mlm_gather` fraction is a floor; when the masking
+    probability is known the budget is also at least mean + 6σ of the
+    per-row Binomial(S, p) masked count, so overflow (silently dropped
+    positions) stays ~1e-9/row for ANY p — the bare 0.375 default was
+    sized for p=0.15 only and would silently truncate at p=0.4.
+    """
+    import math
+
+    budget = int(seq_len * mlm_gather)
+    if mlm_probability is not None and mlm_probability > 0.0:
+        mean = seq_len * mlm_probability
+        sd = math.sqrt(seq_len * mlm_probability * (1.0 - mlm_probability))
+        budget = max(budget, int(math.ceil(mean + 6.0 * sd)))
+    return max(min(budget, seq_len), 8)
+
+
 def gather_mlm_positions(labels: jax.Array, budget: int):
     """Per-row indices of masked positions, padded to `budget`; gathered
     labels are -100 past each row's true count (jit-safe static shapes)."""
@@ -39,25 +59,37 @@ def gather_mlm_positions(labels: jax.Array, budget: int):
 
 
 def make_forward_fn(model: nn.Module, task_fn,
-                    mlm_gather: float = 0.0) -> Callable:
+                    mlm_gather: float = 0.0,
+                    mlm_probability: Optional[float] = None) -> Callable:
     """loss_fn(params, batch, rng, deterministic) -> (loss, metrics)."""
 
     def forward(params, batch: Batch, rng, deterministic: bool):
+        import jax.numpy as jnp
+
         attention_mask = batch.get("attention_mask")
         kwargs = {}
         labels = batch.get("labels")
+        dropped = None
         if (mlm_gather > 0.0 and labels is not None and labels.ndim == 2):
-            budget = max(int(labels.shape[1] * mlm_gather), 8)
+            budget = mlm_budget(labels.shape[1], mlm_gather, mlm_probability)
             positions, glabels = gather_mlm_positions(labels, budget)
             kwargs["positions"] = positions
             batch = dict(batch)
             batch["labels"] = glabels
+            # overflow sentinel: positions silently dropped by the static
+            # budget (should be ~0; loop's debug mode raises on it)
+            n_masked = (labels != -100).sum(axis=-1)
+            dropped = jnp.maximum(n_masked - budget, 0).sum()
         logits = model.apply(
             {"params": params}, batch["input_ids"], attention_mask,
             deterministic=deterministic,
             rngs=None if deterministic else {"dropout": rng},
             **kwargs)
-        return task_fn(logits, batch)
+        loss, metrics = task_fn(logits, batch)
+        if dropped is not None:
+            metrics = dict(metrics)
+            metrics["mlm_dropped_positions"] = dropped
+        return loss, metrics
 
     return forward
 
@@ -73,9 +105,10 @@ def make_train_step(
     ema: float = 0.0,
     deterministic: Optional[bool] = None,
     mlm_gather: float = 0.0,
+    mlm_probability: Optional[float] = None,
     track_param_norms: bool = False,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jax.Array]]]:
-    forward = make_forward_fn(model, task_fn, mlm_gather)
+    forward = make_forward_fn(model, task_fn, mlm_gather, mlm_probability)
     det = bool(deterministic) if deterministic is not None else True
 
     def train_step(state: TrainState, batch: Batch):

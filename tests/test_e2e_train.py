@@ -118,3 +118,45 @@ def test_mlm_gather_matches_full_loss():
     g_logits = model.apply(params, ids, None, positions, deterministic=True)
     loss_g, _ = mlm_loss(g_logits, {"labels": glabels})
     np.testing.assert_allclose(float(loss_g), float(loss_full), rtol=1e-5)
+
+
+def test_mlm_budget_scales_with_probability():
+    """The static gather budget must track data.mlm_probability (VERDICT r2
+    #6): the 0.375 fraction was sized for p=0.15; at p=0.4 the derived
+    p + 6σ bound must dominate so positions are not silently dropped."""
+    from dna_tpu.train.step import mlm_budget
+
+    # p=0.15, S=128: configured fraction (48) already exceeds p+6σ (~47)
+    assert mlm_budget(128, 0.375, 0.15) == 48
+    # p=0.4, S=128: budget must grow well past 48 (mean 51.2 alone)
+    b = mlm_budget(128, 0.375, 0.4)
+    assert b >= 84, b  # 51.2 + 6*5.54 ≈ 84.5
+    assert b <= 128
+    # never exceeds the row length
+    assert mlm_budget(128, 0.375, 0.99) <= 128
+    # no probability given: legacy fraction behavior
+    assert mlm_budget(128, 0.375, None) == 48
+
+
+def test_mlm_overflow_metric_reported():
+    """Dropped masked positions must surface as a metric (debug mode raises
+    on it in the loop), never silently truncate."""
+    import jax
+    import jax.numpy as jnp
+    from dna_tpu.config.core import ModelConfig
+    from dna_tpu.models.bert import BertForMLM
+    from dna_tpu.train.step import make_forward_fn
+    from dna_tpu.train.tasks import mlm_loss
+
+    cfg = ModelConfig(vocab_size=32, d_model=32, n_layers=1, n_heads=2,
+                      d_ff=64, use_flash=False, dtype="float32")
+    model = BertForMLM(cfg)
+    ids = jnp.full((2, 32), 8, jnp.int32)
+    # every position masked: budget from fraction 0.25 (=8) overflows hard
+    labels = ids
+    params = model.init(jax.random.key(0), ids, None, deterministic=True)
+    fwd = make_forward_fn(model, mlm_loss, mlm_gather=0.25,
+                          mlm_probability=None)
+    _, metrics = fwd(params["params"], {"input_ids": ids, "labels": labels},
+                     jax.random.key(1), True)
+    assert int(metrics["mlm_dropped_positions"]) == 2 * (32 - 8)

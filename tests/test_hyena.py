@@ -76,3 +76,43 @@ def test_hyena_lm_trains():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < 0.5, losses[::10]  # deterministic pattern → near-zero CE
+
+
+def test_hyena_num_blocks_first_block_matches():
+    """num_blocks=z makes the long conv block-local (reference
+    `hyena.py:343,358-360`). Since the conv is causal and filter(L/z) ==
+    filter(L)[:L/z], the FIRST block's outputs must be bit-identical to the
+    num_blocks=1 operator with the same params."""
+    kw = dict(d_model=16, l_max=64, order=2, filter_order=16,
+              filter_emb_dim=5, dtype=jnp.float32)
+    op1 = HyenaOperator(num_blocks=1, **kw)
+    op2 = HyenaOperator(num_blocks=2, **kw)
+    u = jax.random.normal(jax.random.key(1), (2, 64, 16))
+    params = op1.init(jax.random.key(0), u)
+    y1 = op1.apply(params, u)
+    y2 = op2.apply(params, u)
+    assert y2.shape == y1.shape
+    np.testing.assert_allclose(np.asarray(y2[:, :32]), np.asarray(y1[:, :32]),
+                               atol=1e-5)
+    # and the blocks are genuinely independent: the long conv must NOT carry
+    # information across the boundary (only the short conv's k-1=2 taps do)
+    u_pert = u.at[:, :16].add(3.0)  # perturb deep inside block 1
+    y2p = op2.apply(params, u_pert)
+    np.testing.assert_allclose(np.asarray(y2p[:, 34:]), np.asarray(y2[:, 34:]),
+                               atol=1e-5)
+    # whereas with one block the perturbation propagates across the boundary
+    # (the init filter decays fast, so compare leakage magnitudes, not an
+    # absolute threshold)
+    y1p = op1.apply(params, u_pert)
+    leak_z1 = np.abs(np.asarray(y1p[:, 34:]) - np.asarray(y1[:, 34:])).max()
+    leak_z2 = np.abs(np.asarray(y2p[:, 34:]) - np.asarray(y2[:, 34:])).max()
+    assert leak_z1 > 100 * max(leak_z2, 1e-9), (leak_z1, leak_z2)
+
+
+def test_hyena_num_blocks_rejects_indivisible():
+    op = HyenaOperator(d_model=8, l_max=48, order=2, filter_order=8,
+                       filter_emb_dim=5, num_blocks=5, dtype=jnp.float32)
+    u = jnp.zeros((1, 48, 8))
+    import pytest
+    with pytest.raises(ValueError, match="num_blocks"):
+        op.init(jax.random.key(0), u)

@@ -145,3 +145,56 @@ def test_hg38_fixed_windows(tmp_path):
     assert len(ds) == 7  # window starts at 0,128,...,768 fit in 1000-129
     a, b = ds[0], ds[0]
     np.testing.assert_array_equal(a["input_ids"], b["input_ids"])  # fixed
+
+
+def test_gradcam_on_denoise_cnn():
+    """Grad-CAM++ conv-feature attribution (reference
+    `visualize/gradcam.py:161`): on a trained motif classifier the heatmap
+    must (a) be a normalized [0,1] vector of the requested length, and
+    (b) peak near the motif."""
+    import optax
+    from dna_tpu.data.synthetic import SyntheticClassificationDataset
+    from dna_tpu.interpret import gradcam
+    from dna_tpu.models.cnn import DenoiseCNN
+
+    m = DenoiseCNN(hidden_dim=32, num_conv1d=3, n_out=2, head="cls")
+    ds = SyntheticClassificationDataset(max_length=64, num_samples=64)
+    xs = jnp.asarray(np.stack([ds[i]["input_ids"] for i in range(64)]))
+    ys = jnp.asarray(np.stack([ds[i]["labels"] for i in range(64)]))
+    params = m.init(jax.random.key(0), xs[:2])["params"]
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                m.apply({"params": p}, xs), ys).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    for _ in range(80):
+        params, opt, _ = step(params, opt)
+
+    pos_idx = next(i for i in range(64) if int(ys[i]) == 1)
+    heat = gradcam(m, params, xs[pos_idx:pos_idx + 1], layer="conv_1",
+                   target_fn=lambda lg: lg[:, 1], out_len=64)
+    heat = np.asarray(heat)
+    assert heat.shape == (64,)
+    assert heat.min() >= 0.0 and heat.max() <= 1.0 + 1e-6
+    assert heat.max() > 0.5  # normalized: some position peaks
+
+    # the peak should sit in/near the motif (± receptive-field slack)
+    ids = np.asarray(xs[pos_idx])
+    motif = np.array([7, 8, 9, 10, 7, 8])
+    hits = [i for i in range(len(ids) - 6)
+            if np.array_equal(ids[i:i + 6], motif)]
+    assert hits
+    peak = int(np.argmax(heat))
+    assert any(h - 8 <= peak <= h + 14 for h in hits), (peak, hits)
+
+    # unknown layer raises
+    import pytest
+    with pytest.raises(ValueError, match="no captured intermediate"):
+        gradcam(m, params, xs[:1], layer="nope_layer")
