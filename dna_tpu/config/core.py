@@ -164,6 +164,10 @@ class ModelConfig:
     max_len: int = 512
     dropout: float = 0.0
     dtype: str = "bfloat16"  # compute dtype; params always f32
+    # GPT-2 init scheme for the LM-backbone families: kaiming_normal on
+    # out_proj/fc2/Wqkv, normal(0.02) elsewhere (reference `_init_weights`,
+    # `long_conv_lm.py:270-318`). Default on, matching the reference.
+    gpt2_init: bool = True
     # hyena
     hyena_order: int = 2
     hyena_filter_order: int = 64

@@ -34,7 +34,7 @@ import numpy as np
 
 from dna_tpu import registry
 from dna_tpu.config.core import ModelConfig
-from dna_tpu.models.layers import dense
+from dna_tpu.models.layers import dense, kaiming_init
 from dna_tpu.ops.fftconv import fftconv
 
 
@@ -118,6 +118,9 @@ class HyenaOperator(nn.Module):
     # modulation shift: in-repo reference defaults 0.0 (`hyena.py:145`),
     # standalone/HF HyenaDNA uses 0.05 (`standalone_hyenadna.py:126`)
     filter_shift: float = 0.0
+    # GPT-2 scheme kaiming init for out_proj (`long_conv_lm.py:292-299`
+    # matches `out_proj.weight` on every submodule, incl. Hyena's)
+    out_proj_init: object = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -201,7 +204,10 @@ class HyenaOperator(nn.Module):
         if z > 1:
             y = y.reshape(B, l_filter, d)
         y = nn.with_logical_constraint(y, ("batch", "seq", "act_embed"))
-        return dense(d, ("heads", "embed"), dtype=cfg.dtype, name="out_proj")(y)
+        from dna_tpu.models.layers import default_kernel_init
+
+        return dense(d, ("heads", "embed"), dtype=cfg.dtype, name="out_proj",
+                     kernel_init=cfg.out_proj_init or default_kernel_init)(y)
 
 
 @registry.layer.register("hyena")
@@ -216,4 +222,5 @@ def _hyena(cfg: ModelConfig, l_max: int, causal: bool = True):
         num_blocks=cfg.hyena_num_blocks,
         bidirectional=not causal,
         filter_shift=cfg.hyena_filter_shift,
+        out_proj_init=kaiming_init if cfg.gpt2_init else None,
         dtype=jnp.dtype(cfg.dtype))

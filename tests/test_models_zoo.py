@@ -241,3 +241,55 @@ def test_cope_attention():
     cope_grads = [v for k, v in flat.items()
                   if "cope" in "/".join(map(str, k))]
     assert cope_grads and all((np.asarray(g) != 0).any() for g in cope_grads)
+
+
+def test_gpt2_init_scheme_statistics():
+    """GPT-2 init scheme (reference `long_conv_lm.py:270-318`): kaiming
+    (std = sqrt(2/fan_in)) on wqkv/out_proj/mlp-wo, normal(0.02) elsewhere;
+    flag off reverts everything to normal(0.02)."""
+    import dataclasses
+    import math
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dna_tpu.config.core import ModelConfig
+    from dna_tpu.models.lm import LMHeadModel
+
+    cfg = ModelConfig(vocab_size=64, d_model=128, n_layers=2, n_heads=4,
+                      d_ff=512, use_flash=False, dtype="float32",
+                      gpt2_init=True)
+    model = LMHeadModel(cfg, attn_layer_idx=(0,), l_max=64)
+    ids = jnp.zeros((2, 64), jnp.int32)
+    params = nn.meta.unbox(
+        model.init(jax.random.key(0), ids, deterministic=True)["params"])
+    lyr = params["backbone"]["layer_0"]["mixer"]
+    mlp = params["backbone"]["layer_0"]["mlp"]
+
+    def std(x):
+        return float(np.asarray(x).std())
+
+    # kaiming targets: fan_in is the kernel's first dim
+    assert abs(std(lyr["wqkv"]["kernel"]) - math.sqrt(2 / 128)) < 0.01
+    assert abs(std(lyr["out_proj"]["kernel"]) - math.sqrt(2 / 128)) < 0.01
+    assert abs(std(mlp["wo"]["kernel"]) - math.sqrt(2 / 512)) < 0.005
+    # untouched: first mlp proj and embeddings stay at 0.02
+    assert abs(std(mlp["wi"]["kernel"]) - 0.02) < 0.003
+    assert abs(std(params["backbone"]["embed"]["embedding"]) - 0.02) < 0.003
+    # hyena layer (layer_1, mixer=hyena default): out_proj kaiming too
+    hy = params["backbone"]["layer_1"]["mixer"]
+    assert abs(std(hy["out_proj"]["kernel"]) - math.sqrt(2 / 128)) < 0.01
+    assert abs(std(hy["in_proj"]["kernel"]) - 0.02) < 0.003
+
+    # flag off: everything normal(0.02)
+    cfg_off = dataclasses.replace(cfg, gpt2_init=False)
+    params_off = nn.meta.unbox(
+        LMHeadModel(cfg_off, attn_layer_idx=(0,), l_max=64).init(
+            jax.random.key(0), ids, deterministic=True)["params"])
+    lyr_off = params_off["backbone"]["layer_0"]["mixer"]
+    assert abs(std(lyr_off["wqkv"]["kernel"]) - 0.02) < 0.003
+    assert abs(std(lyr_off["out_proj"]["kernel"]) - 0.02) < 0.003
+    assert abs(std(params_off["backbone"]["layer_0"]["mlp"]["wo"]["kernel"])
+               - 0.02) < 0.003

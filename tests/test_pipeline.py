@@ -175,3 +175,19 @@ def test_pipelined_bert_mask_parity_with_padding():
         out_nomask = pp_model.apply({"params": params}, ids, None,
                                     deterministic=True)
     assert np.abs(np.asarray(out) - np.asarray(out_nomask)).max() > 1e-4
+
+
+def test_pp_with_sp_rejected_at_config_time():
+    """pp×sp would silently compute block-local attention inside the gpipe
+    shard_map (cp wrappers are disabled there) — must be a ConfigError."""
+    import pytest
+    from dna_tpu.config.core import MeshConfig
+    from dna_tpu.parallel.mesh import ConfigError, resolve_mesh_shape
+
+    with pytest.raises(ConfigError, match="pp=2 with sp=2"):
+        resolve_mesh_shape(MeshConfig(dp=1, fsdp=1, tp=1, pp=2, sp=2), 4)
+    # pp alone and sp alone remain fine
+    assert resolve_mesh_shape(
+        MeshConfig(dp=2, fsdp=1, tp=1, pp=2, sp=1), 4) == (2, 1, 1, 2, 1)
+    assert resolve_mesh_shape(
+        MeshConfig(dp=2, fsdp=1, tp=1, pp=1, sp=2), 4) == (2, 1, 1, 1, 2)
