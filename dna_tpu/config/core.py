@@ -157,6 +157,10 @@ class ModelConfig:
 
     name: str = "dnabert2"
     vocab_size: int = 4096
+    # token-type table size (reference BertEmbeddings always has one,
+    # `bert_layers.py:48-50`; genomics batches carry no type ids, so only row
+    # 0 ever contributes — kept for checkpoint-conversion parity, default off)
+    type_vocab_size: int = 0
     d_model: int = 768
     n_layers: int = 12
     n_heads: int = 12

@@ -209,6 +209,15 @@ def convert_dnabert2(state_dict: Dict[str, np.ndarray], cfg: ModelConfig,
     sd = _SD(state_dict, prefix)
     out: Dict[str, np.ndarray] = {}
     out["bert/embed/embedding"] = sd("bert.embeddings.word_embeddings.weight")
+    if sd.has("bert.embeddings.token_type_embeddings.weight"):
+        # separate param (cfg.type_vocab_size must match): folding row 0 into
+        # the word table would corrupt the tied MLM decoder
+        if cfg.type_vocab_size <= 0:
+            raise ValueError(
+                "checkpoint has token_type_embeddings — set "
+                "model.type_vocab_size to convert it")
+        out["bert/type_embed"] = sd(
+            "bert.embeddings.token_type_embeddings.weight")
     out["bert/embed_ln/scale"] = sd("bert.embeddings.LayerNorm.weight")
     out["bert/embed_ln/bias"] = sd("bert.embeddings.LayerNorm.bias")
     for i in range(cfg.n_layers):
@@ -236,7 +245,7 @@ def convert_dnabert2(state_dict: Dict[str, np.ndarray], cfg: ModelConfig,
         sd("cls.predictions.decoder.weight")
     if strict:
         leftover = sd.unused(
-            skip_patterns=(r"inv_freq", r"position_ids", r"token_type",
+            skip_patterns=(r"inv_freq", r"position_ids",
                            r"pooler", r"seq_relationship"))
         if leftover:
             raise ValueError(f"unconverted keys: {leftover[:8]}")
@@ -284,8 +293,13 @@ def convert_ntv2(state_dict: Dict[str, np.ndarray], cfg: ModelConfig,
     out["decoder/bias"] = sd("lm_head.bias")
     if strict:
         leftover = sd.unused(
+            # position_embeddings: the reference creates the absolute table
+            # unconditionally (`modeling_esm.py:300`) but applies it only
+            # when position_embedding_type == "absolute" (`:358-360`); the
+            # NTv2 pretrain configs are rotary, so it is dead weight
             skip_patterns=(r"inv_freq", r"position_ids", r"token_type",
-                           r"pooler", r"contact_head", r"\.mask$"))
+                           r"pooler", r"contact_head", r"\.mask$",
+                           r"esm\.embeddings\.position_embeddings"))
         if leftover:
             raise ValueError(f"unconverted keys: {leftover[:8]}")
     return _unflatten(out)

@@ -83,6 +83,16 @@ class BertEncoder(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         self.embed = TokenEmbed(cfg.vocab_size, cfg.d_model, dtype=dtype)
+        if cfg.type_vocab_size > 0:
+            # reference BertEmbeddings token_type_embeddings
+            # (`bert_layers.py:48-50`): genomics inputs never carry type ids,
+            # so only row 0 contributes — but it must stay a separate param
+            # (folding it into the word table would corrupt the tied decoder)
+            self.type_embed = self.param(
+                "type_embed",
+                nn.with_logical_partitioning(
+                    nn.initializers.normal(0.02), (None, "embed")),
+                (cfg.type_vocab_size, cfg.d_model), jnp.float32)
         self.embed_ln = layer_norm(eps=cfg.norm_eps)
         if cfg.dropout > 0.0:
             self.embed_dropout = nn.Dropout(cfg.dropout)
@@ -98,6 +108,8 @@ class BertEncoder(nn.Module):
                  *, deterministic: bool = True) -> jax.Array:
         cfg = self.cfg
         x = self.embed(input_ids)
+        if cfg.type_vocab_size > 0:
+            x = x + self.type_embed[0].astype(x.dtype)[None, None, :]
         x = self.embed_ln(x).astype(jnp.dtype(cfg.dtype))
         if cfg.dropout > 0.0:
             x = self.embed_dropout(x, deterministic=deterministic)

@@ -285,3 +285,174 @@ def test_convert_registry_and_strictness():
         np.zeros(3, np.float32)
     with pytest.raises(ValueError, match="unconverted"):
         convert_caduceus(sd, cfg)
+
+
+# ---------------------------------------------------------------------------
+# DNABERT-2 / NTv2: torch-oracle numerical parity (VERDICT r2 #2)
+#
+# The reference DNABERT-2 hard-disables its Triton kernel
+# (`bert_layers.py:130-133` sets flash_attn_qkvpacked_func = None), so its
+# pytorch fallback runs on CPU; NTv2 is pure torch. Both give exact oracles
+# for the converted models. A few environment shims are needed (documented
+# inline); none change the reference's math.
+# ---------------------------------------------------------------------------
+
+
+def _ref_torch_env():
+    """Shim the reference's import environment (omegaconf + old transformers
+    helpers + old-torch full_like semantics). Returns the torch module."""
+    import sys
+    import types
+
+    import torch
+
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+
+        class _OC:
+            @staticmethod
+            def to_container(x):
+                return dict(x)
+
+        om.OmegaConf = _OC
+        sys.modules["omegaconf"] = om
+    # transformers moved these helpers to pytorch_utils
+    import transformers.modeling_utils as mu
+    import transformers.pytorch_utils as ptu
+
+    for n in ("find_pruneable_heads_and_indices", "prune_linear_layer"):
+        if not hasattr(mu, n):
+            setattr(mu, n, getattr(ptu, n))
+    # old torch allowed a 0-d tensor as full_like's fill_value
+    if not getattr(torch.full_like, "_dna_tpu_shim", False):
+        orig = torch.full_like
+
+        def full_like(input, fill_value, **kw):
+            if isinstance(fill_value, torch.Tensor):
+                fill_value = fill_value.item()
+            return orig(input, fill_value, **kw)
+
+        full_like._dna_tpu_shim = True
+        torch.full_like = full_like
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    return torch
+
+
+@pytest.mark.skipif(not os.path.exists(f"{REF}/src/models/DNABERT2"),
+                    reason="reference checkout not mounted")
+def test_dnabert2_conversion_matches_torch():
+    """Converted DNABERT-2 must reproduce the reference's pytorch-fallback
+    logits exactly (`bert_layers.py:755-843`), incl. a pad-masked batch."""
+    torch = _ref_torch_env()
+    from src.models.DNABERT2 import bert_layers
+    from src.models.DNABERT2.configuration_bert import BertConfig
+
+    torch.manual_seed(0)
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=128,
+                     max_position_embeddings=64,
+                     attention_probs_dropout_prob=0.0,
+                     hidden_dropout_prob=0.0)
+    d = cfg.to_dict()
+    d["hyena_framework"] = False
+    tmodel = bert_layers.BertForMaskedLM(d)
+    tmodel.eval()
+    sd = {k: np.asarray(v.numpy()) for k, v in tmodel.state_dict().items()}
+
+    jcfg = ModelConfig(vocab_size=64, d_model=32, n_layers=2, n_heads=2,
+                       d_ff=128, alibi=True, use_flash=False,
+                       dtype="float32", type_vocab_size=2)
+    from dna_tpu.models.bert import BertForMLM
+
+    jmodel = BertForMLM(jcfg)
+    params = convert_dnabert2(sd, jcfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, 64, (2, 16))
+    inited = jmodel.init(jax.random.key(0), jnp.asarray(ids), None,
+                         deterministic=True)["params"]
+    _assert_same_structure(params, inited)
+
+    mask_full = np.ones_like(ids)
+    mask_pad = mask_full.copy()
+    mask_pad[1, 12:] = 0
+    for mask in (mask_full, mask_pad):
+        with torch.no_grad():
+            t_logits = tmodel(None, input_ids=torch.as_tensor(ids),
+                              attention_mask=torch.as_tensor(mask)
+                              ).logits.numpy()
+        j_logits = np.asarray(jmodel.apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+            deterministic=True))
+        valid = mask.astype(bool)
+        np.testing.assert_allclose(j_logits[valid], t_logits[valid],
+                                   atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.exists(f"{REF}/src/models/ntv2"),
+                    reason="reference checkout not mounted")
+def test_ntv2_conversion_matches_torch():
+    """Converted NTv2 (learned-rotary ESM) must reproduce the reference's
+    pure-torch hidden states + LM-head logits (`modeling_esm.py:1194-1310`).
+
+    The oracle calls `tm.esm(...)` + `tm.lm_head(...)` directly: the wrapper
+    forward derives the pad mask by downloading a tokenizer from HF hub
+    (`modeling_esm.py:1262-1267`), unavailable here. apply_rotary_pos_emb is
+    shimmed to the broadcast-agnostic slice — the snapshot's 4-index slicing
+    of a 3-D cos tensor raises on any torch (`modeling_esm.py:64` with the
+    per-head [1, S, D] tables of `:228`); the math is unchanged."""
+    torch = _ref_torch_env()
+    from src.models.ntv2 import modeling_esm
+
+    orig_rope = modeling_esm.apply_rotary_pos_emb
+
+    def _apply_rope(x, cos, sin):
+        cos = cos[..., : x.shape[-2], :]
+        sin = sin[..., : x.shape[-2], :]
+        return (x * cos) + (modeling_esm.rotate_half(x) * sin)
+
+    modeling_esm.apply_rotary_pos_emb = _apply_rope
+    try:
+        torch.manual_seed(0)
+        cfgd = dict(vocab_size=64, mask_token_id=2, pad_token_id=1,
+                    hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=64,
+                    hidden_dropout_prob=0.0,
+                    attention_probs_dropout_prob=0.0,
+                    max_position_embeddings=128,
+                    position_embedding_type="rotary", add_bias_fnn=False,
+                    emb_layer_norm_before=False, token_dropout=False,
+                    tie_word_embeddings=False, hyena_framework=False,
+                    finetune=False, use_cache=False, layer_norm_eps=1e-12)
+        tmodel = modeling_esm.EsmForMaskedLM(cfgd)
+        tmodel.eval()
+        sd = {k: np.asarray(v.numpy())
+              for k, v in tmodel.state_dict().items()}
+
+        jcfg = ModelConfig(vocab_size=64, d_model=32, n_layers=2, n_heads=2,
+                           d_ff=64, use_flash=False, dtype="float32",
+                           tie_embeddings=False, rotary=True)
+        from dna_tpu.models.esm import EsmForMaskedLM
+
+        jmodel = EsmForMaskedLM(jcfg)
+        params = convert_ntv2(sd, jcfg)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(4, 64, (2, 16))
+        inited = jmodel.init(jax.random.key(0), jnp.asarray(ids), None,
+                             deterministic=True)["params"]
+        _assert_same_structure(params, inited)
+
+        mask = np.ones_like(ids)
+        mask[1, 12:] = 0
+        with torch.no_grad():
+            h = tmodel.esm(torch.as_tensor(ids),
+                           attention_mask=torch.as_tensor(mask))[0]
+            t_logits = tmodel.lm_head(h).numpy()
+        j_logits = np.asarray(jmodel.apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+            deterministic=True))
+        valid = mask.astype(bool)
+        np.testing.assert_allclose(j_logits[valid], t_logits[valid],
+                                   atol=2e-5, rtol=1e-4)
+    finally:
+        modeling_esm.apply_rotary_pos_emb = orig_rope
