@@ -111,7 +111,10 @@ def _ntv2_pretrain(size: str) -> ExperimentConfig:
         name=f"ntv2_pretrain_{size}",
         model=ModelConfig(name="ntv2", vocab_size=4107, rotary=True,
                           alibi=False, remat=True, **dims),
-        data=DataConfig(dataset="synthetic_mlm", tokenizer="kmer",
+        # real corpus when data.dest_path points at the DNABERT-2 text corpus
+        # (the reference's dnabert2_pretrain pipeline), synthetic stand-in
+        # otherwise — same fallback pattern as dnabert2_pretrain
+        data=DataConfig(dataset="dnabert2", tokenizer="kmer",
                         max_length=128, batch_size=512),
         task=TaskConfig(name="mlm"),
         optimizer=OptimizerConfig(name="adamw", lr=6e-4, weight_decay=1e-5),
@@ -137,7 +140,7 @@ def nt_v1_pretrain() -> ExperimentConfig:
                           alibi=False, learned_pos_emb=True,
                           token_dropout=True, max_len=1024, remat=True,
                           d_model=1280, n_layers=24, n_heads=20, d_ff=5120),
-        data=DataConfig(dataset="synthetic_mlm", tokenizer="kmer",
+        data=DataConfig(dataset="dnabert2", tokenizer="kmer",
                         max_length=128, batch_size=512),
         task=TaskConfig(name="mlm"),
         optimizer=OptimizerConfig(name="adamw", lr=1e-4, weight_decay=1e-5),

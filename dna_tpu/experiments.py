@@ -200,13 +200,18 @@ def build_eval_dataset(cfg: ExperimentConfig, tokenizer, split: str = "val"):
     return None (no eval)."""
     import warnings
 
-    data = replace(cfg.data, split=split, seed=cfg.data.seed + 7919)
-    try:
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")  # fallback warning already shown
-            return registry.dataset[cfg.data.dataset](tokenizer, data)
-    except (FileNotFoundError, ValueError, KeyError, OSError):
-        return None
+    # families without a val split fall back to test (the reference
+    # evaluates named val+test loaders each epoch, `train.py:558-582`;
+    # GenomicBenchmarks/NT ship train+test only)
+    for s in ((split, "test") if split == "val" else (split,)):
+        data = replace(cfg.data, split=s, seed=cfg.data.seed + 7919)
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # fallback warning shown once
+                return registry.dataset[cfg.data.dataset](tokenizer, data)
+        except (FileNotFoundError, ValueError, KeyError, OSError):
+            continue
+    return None
 
 
 def get_experiment(name: str, overrides=()) -> ExperimentConfig:

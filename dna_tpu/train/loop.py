@@ -246,6 +246,25 @@ class TrainLoop:
             for name in self.host_metrics:
                 out[f"val/{name}"] = metrics_host.compute_metric(
                     name, labels, logits)
+            # eval artifacts for classification tasks: confusion matrix +
+            # per-class precision/recall/F1 into the metrics stream (the
+            # reference's per-epoch wandb heatmaps, `callbacks/wandb.py:
+            # 90-123`); kept out of the scalar dict, logged as one record
+            if (logits.ndim == 2 and logits.shape[-1] <= 256
+                    and np.issubdtype(labels.dtype, np.integer)):
+                n_cls = logits.shape[-1]
+                preds = logits.argmax(-1)
+                cm = metrics_host.confusion_matrix(labels, preds, n_cls)
+                prec, rec, f1c = metrics_host.per_class_prf(labels, preds,
+                                                            n_cls)
+                self.logger.log({
+                    "type": "eval_artifacts",
+                    "step": int(self.state.step),
+                    "confusion_matrix": cm.tolist(),
+                    "per_class": {"precision": [round(float(x), 6) for x in prec],
+                                  "recall": [round(float(x), 6) for x in rec],
+                                  "f1": [round(float(x), 6) for x in f1c]},
+                })
         return out
 
     def run(self, steps: Optional[int] = None,

@@ -134,3 +134,20 @@ def compute_metric(name: str, y_true: np.ndarray, logits: np.ndarray) -> float:
     if name == "pearsonr_hk":
         return pearsonr(y_true[:, 1], logits[:, 1])
     raise ValueError(f"unknown metric {name!r}")
+
+
+def per_class_prf(y_true: np.ndarray, y_pred: np.ndarray, n_classes: int):
+    """Per-class (precision, recall, f1) arrays from the confusion matrix
+    (the reference's wandb val heatmaps, `src/callbacks/wandb.py:90-123`)."""
+    cm = confusion_matrix(y_true, y_pred, n_classes).astype(np.float64)
+    tp = np.diag(cm)
+    pred_tot = cm.sum(axis=0)
+    true_tot = cm.sum(axis=1)
+    precision = np.divide(tp, pred_tot, out=np.zeros_like(tp),
+                          where=pred_tot > 0)
+    recall = np.divide(tp, true_tot, out=np.zeros_like(tp),
+                       where=true_tot > 0)
+    denom = precision + recall
+    f1c = np.divide(2 * precision * recall, denom,
+                    out=np.zeros_like(tp), where=denom > 0)
+    return precision, recall, f1c
