@@ -52,6 +52,15 @@ def hg38_transformer() -> ExperimentConfig:
     )
 
 
+@registry.experiment.register("hg38_transformer_moe")
+def hg38_transformer_moe() -> ExperimentConfig:
+    """Mixture-of-Experts variant of the attention LM (capability beyond the
+    reference): 8 experts, top-2 routing, shard over the ep mesh axis."""
+    cfg = hg38_transformer()
+    return replace(cfg, name="hg38_transformer_moe",
+                   model=replace(cfg.model, moe_experts=8, moe_top_k=2))
+
+
 @registry.experiment.register("hg38_mamba")
 def hg38_mamba() -> ExperimentConfig:
     """`mamba.yaml`: causal Mamba LM."""

@@ -86,6 +86,8 @@ class MeshConfig:
              sequence parallelism reuses this axis for norm/dropout regions
       pp   — pipeline parallel (stage dimension over layers)
       sp   — sequence/context parallel (activations sharded along L)
+      ep   — expert parallel (MoE expert dimension; exceeds the reference,
+             which has no MoE)
     """
 
     dp: int = -1
@@ -93,6 +95,7 @@ class MeshConfig:
     tp: int = 1
     pp: int = 1
     sp: int = 1
+    ep: int = 1
 
 
 @dataclass(frozen=True)
@@ -168,6 +171,14 @@ class ModelConfig:
     max_len: int = 512
     dropout: float = 0.0
     dtype: str = "bfloat16"  # compute dtype; params always f32
+    # Mixture-of-Experts MLP for the LM-backbone families (EXCEEDS the
+    # reference — it has no MoE). moe_experts=0 disables; moe_every=n puts a
+    # MoE MLP in every n-th block (1 = all blocks).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
+    moe_every: int = 1
     # GPT-2 init scheme for the LM-backbone families: kaiming_normal on
     # out_proj/fc2/Wqkv, normal(0.02) elsewhere (reference `_init_weights`,
     # `long_conv_lm.py:270-318`). Default on, matching the reference.

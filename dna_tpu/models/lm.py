@@ -75,9 +75,21 @@ class LMBlock(nn.Module):
 
         self.mixer_ln = layer_norm(eps=cfg.norm_eps)
         self.mlp_ln = layer_norm(eps=cfg.norm_eps)
-        self.mlp = Mlp(cfg.d_ff, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
-                       dropout=cfg.dropout,
-                       out_init=kaiming_init if cfg.gpt2_init else None)
+        if (cfg.moe_experts > 0
+                and self.layer_idx % max(cfg.moe_every, 1)
+                == max(cfg.moe_every, 1) - 1):
+            from dna_tpu.models.moe import MoEMlp
+
+            self.mlp = MoEMlp(cfg.d_ff, cfg.d_model,
+                              n_experts=cfg.moe_experts,
+                              top_k=cfg.moe_top_k,
+                              capacity_factor=cfg.moe_capacity_factor,
+                              aux_weight=cfg.moe_aux_weight,
+                              dtype=jnp.dtype(cfg.dtype))
+        else:
+            self.mlp = Mlp(cfg.d_ff, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
+                           dropout=cfg.dropout,
+                           out_init=kaiming_init if cfg.gpt2_init else None)
         if cfg.dropout > 0.0:
             self.drop = nn.Dropout(cfg.dropout)
         if self.layer_idx in self.attn_layer_idx:

@@ -61,7 +61,11 @@ def multihead_attention(
         # (measured on v5e: 124k ref vs 99k flash tok/s at S=128, batch 256).
         from dna_tpu.ops import attention_small
 
-        impl = "flash" if (D % 128 == 0 or D in (64,)) and S >= 512 else "ref"
+        # DNA_TPU_FLASH_MIN_S: hardware-tuned crossover (measured on v5e;
+        # re-measure per chip generation with scripts/bench_attn.py). Same
+        # class of knob as DNA_TPU_ATTN_STREAM_S in flash_attention.py.
+        min_s = int(_os.environ.get("DNA_TPU_FLASH_MIN_S", "512"))
+        impl = "flash" if (D % 128 == 0 or D in (64,)) and S >= min_s else "ref"
         if (impl == "ref" and sp_mesh is None and tp_mesh is None
                 and attention_small.supports(S, H, D)
                 and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):

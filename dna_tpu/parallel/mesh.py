@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dna_tpu.config.core import MeshConfig
 
-MESH_AXES = ("dp", "fsdp", "tp", "pp", "sp")
+MESH_AXES = ("dp", "fsdp", "tp", "pp", "sp", "ep")
 
 # Logical axis name → mesh axis (or tuple of mesh axes, or None=replicated).
 # This single table is the whole parallelism policy; models only ever use
@@ -45,7 +45,7 @@ DEFAULT_RULES: Tuple[Tuple[str, Optional[object]], ...] = (
     ("mlp2", None),              # second mlp width dim (square mlp blocks)
     ("state", None),             # ssm state dim
     ("layers", "pp"),            # stacked-layer dim for pipeline scan
-    ("expert", None),            # reserved (no MoE in reference)
+    ("expert", "ep"),            # MoE expert dim (exceeds the reference)
 )
 
 
@@ -66,7 +66,8 @@ def resolve_mesh_shape(cfg: MeshConfig, n_devices: Optional[int] = None) -> Tupl
             f"pp={cfg.pp} with sp={cfg.sp} is unsupported: context-parallel "
             "ops cannot shard_map inside the pipeline executor; use sp with "
             "dp/fsdp/tp only")
-    sizes = [cfg.dp, cfg.fsdp, cfg.tp, cfg.pp, cfg.sp]
+    sizes = [cfg.dp, cfg.fsdp, cfg.tp, cfg.pp, cfg.sp,
+             getattr(cfg, "ep", 1)]
     if sizes.count(-1) > 1:
         raise ValueError("at most one mesh axis may be -1")
     known = math.prod(s for s in sizes if s != -1)

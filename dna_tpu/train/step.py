@@ -80,12 +80,23 @@ def make_forward_fn(model: nn.Module, task_fn,
             # budget (should be ~0; loop's debug mode raises on it)
             n_masked = (labels != -100).sum(axis=-1)
             dropped = jnp.maximum(n_masked - budget, 0).sum()
-        logits = model.apply(
+        # "losses" is mutable so modules can sow auxiliary losses (MoE
+        # load-balancing); the collection is empty for every dense model
+        logits, variables = model.apply(
             {"params": params}, batch["input_ids"], attention_mask,
             deterministic=deterministic,
             rngs=None if deterministic else {"dropout": rng},
+            mutable=["losses"],
             **kwargs)
         loss, metrics = task_fn(logits, batch)
+        aux_leaves = jax.tree_util.tree_leaves(variables.get("losses", {}))
+        if aux_leaves:
+            import jax.numpy as _jnp
+
+            aux = sum(_jnp.asarray(a, _jnp.float32).sum() for a in aux_leaves)
+            loss = loss + aux
+            metrics = dict(metrics)
+            metrics["aux_loss"] = aux
         if dropped is not None:
             metrics = dict(metrics)
             metrics["mlm_dropped_positions"] = dropped

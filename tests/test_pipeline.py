@@ -188,6 +188,6 @@ def test_pp_with_sp_rejected_at_config_time():
         resolve_mesh_shape(MeshConfig(dp=1, fsdp=1, tp=1, pp=2, sp=2), 4)
     # pp alone and sp alone remain fine
     assert resolve_mesh_shape(
-        MeshConfig(dp=2, fsdp=1, tp=1, pp=2, sp=1), 4) == (2, 1, 1, 2, 1)
+        MeshConfig(dp=2, fsdp=1, tp=1, pp=2, sp=1), 4) == (2, 1, 1, 2, 1, 1)
     assert resolve_mesh_shape(
-        MeshConfig(dp=2, fsdp=1, tp=1, pp=1, sp=2), 4) == (2, 1, 1, 1, 2)
+        MeshConfig(dp=2, fsdp=1, tp=1, pp=1, sp=2), 4) == (2, 1, 1, 1, 2, 1)
