@@ -74,8 +74,10 @@ def multihead_attention(
             # but it silently all-gathers heads; ref attention partitions.
             impl = "small"
         if sp_mesh is not None and impl == "flash":
-            # local q tiles must still be 128-aligned under sp sharding
-            if (S // sp_mesh.shape["sp"]) % 128 != 0:
+            # local q tiles must still be 128-aligned under sp sharding, and
+            # the wrapper also shards heads over tp — H must divide
+            if ((S // sp_mesh.shape["sp"]) % 128 != 0
+                    or H % max(sp_mesh.shape.get("tp", 1), 1) != 0):
                 impl = "ref"
     if impl == "small":
         from dna_tpu.ops.attention_small import fused_small_attention

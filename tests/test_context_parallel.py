@@ -285,3 +285,28 @@ def test_tp_sp_training_step_dnabert2():
     loop = TrainLoop(exp, verbose=False)
     res = loop.run()
     assert np.isfinite(res.final_metrics["loss"])
+
+
+def test_16dev_tp4_sp2_flash_training_step():
+    """The 16-device dryrun case (fsdp=2 tp=4 sp=2) must compile and run
+    with the flash kernels live. Needs its own process: the conftest pins
+    this one to 8 virtual devices."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import jax; jax.config.update('jax_platforms', 'cpu')
+import __graft_entry__ as g
+dp, fsdp, tp, sp = g._factor_mesh(16)
+assert (fsdp, tp, sp) == (2, 4, 2), (dp, fsdp, tp, sp)
+g.dryrun_multichip(16)
+"""
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=16")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                         capture_output=True, text=True, timeout=560)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "flash: mesh dp=1 fsdp=2 tp=4" in out.stdout, out.stdout
+    assert "pp×sp correctly rejected" in out.stdout, out.stdout
