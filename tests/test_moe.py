@@ -139,3 +139,40 @@ def test_moe_lm_trains_on_ep_mesh():
     assert "aux_loss" in metrics
     assert 0.0 < float(metrics["aux_loss"]) < 1.0
     assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+def test_moe_under_remat_keeps_aux_loss():
+    """The sown aux loss must survive nn.remat around the block (flagship
+    configs use remat)."""
+    from dna_tpu.data.loader import ShardedLoader
+    from dna_tpu.experiments import build
+    from dna_tpu.parallel.mesh import build_mesh
+    from dna_tpu.train.state import create_train_state
+    from dna_tpu.train.step import make_train_step
+
+    cfg = ExperimentConfig(
+        name="moe_remat",
+        model=ModelConfig(name="transformer_lm", vocab_size=64, d_model=32,
+                          n_layers=2, n_heads=2, d_ff=64, use_flash=False,
+                          dtype="float32", moe_experts=4, max_len=32,
+                          remat=True),
+        data=DataConfig(dataset="synthetic_lm", tokenizer="char",
+                        max_length=32, batch_size=8, num_samples=16),
+        task=TaskConfig(name="lm"),
+        optimizer=OptimizerConfig(),
+        scheduler=SchedulerConfig(warmup_steps=1, total_steps=5),
+        train=TrainConfig(steps=1),
+        mesh=MeshConfig(dp=4, ep=2),
+    )
+    mesh = build_mesh(cfg.mesh)
+    exp = build(cfg, mesh=mesh)
+    dummy = jnp.zeros((2, 32), jnp.int32)
+    init = lambda r: exp.model.init(r, dummy, None,
+                                    deterministic=True)["params"]
+    state, sh = create_train_state(init, exp.tx, mesh, exp.rules,
+                                   jax.random.key(0))
+    step = make_train_step(exp.model, exp.task_fn, exp.tx, mesh, exp.rules,
+                           sh)
+    state, m = step(state, next(iter(ShardedLoader(exp.dataset, 8, seed=0))))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["aux_loss"]) > 0.0
