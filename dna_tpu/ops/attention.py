@@ -9,6 +9,7 @@ slopes — O(S²) HBM traffic avoided entirely.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Optional
 
 import jax
@@ -48,8 +49,6 @@ def multihead_attention(
     softmax_scale: Optional[float] = None,
     impl: str = "auto",  # auto | flash | ref
 ) -> jax.Array:
-    import os as _os
-
     B, S, H, D = q.shape
     sp_mesh = _ambient_sp_mesh()
     tp_mesh = _ambient_tp_mesh()
@@ -92,8 +91,6 @@ def multihead_attention(
                 ring_flash_attention)
 
             if sp_mesh is not None:
-                import os as _os
-
                 # gather: all-gather K/V once (fewest collectives; peak
                 # memory O(S)); ring: ppermute chunks (memory O(S/sp) —
                 # for when the gathered K/V wouldn't fit)
@@ -146,8 +143,6 @@ def multihead_attention_qkv(
     (~3.6 GB/step at the DNABERT-2 bench point, `scripts/probe_hlo.py`).
     Otherwise unpacks and falls back to `multihead_attention`.
     """
-    import os as _os
-
     from dna_tpu.ops import attention_small
 
     B, S, three, H, D = qkv.shape
