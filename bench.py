@@ -93,10 +93,18 @@ def _bench_flash_4096(iters: int = 10, trials: int = 2):
 
 def main():
     t_begin = time.perf_counter()
-    if os.environ.get("DNA_TPU_COMPILE_CACHE"):
-        # opt-in persistent compile cache (experimental on the axon backend)
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["DNA_TPU_COMPILE_CACHE"])
+    # Persistent compile cache, default ON when the repo-local cache dir
+    # exists: remote compiles through a degraded tunnel have been measured at
+    # 200-500s each (CLAUDE.md incident log), and the round-end driver run
+    # must not spend its whole budget recompiling programs this session
+    # already built. DNA_TPU_COMPILE_CACHE=  (empty) disables.
+    default_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+    cache = os.environ.get(
+        "DNA_TPU_COMPILE_CACHE",
+        default_cache if os.path.isdir(default_cache) else "")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from dna_tpu.config.core import MeshConfig
     from dna_tpu.data.loader import ShardedLoader
@@ -159,7 +167,9 @@ def main():
           f"batch/chip: {per_chip_batch}, seq: {seq_len}", file=sys.stderr)
 
     loader = ShardedLoader(exp.dataset, cfg.data.batch_size, seed=0)
-    batches = [b for _, b in zip(range(4), loader)]
+    # device_put once: numpy batches would re-cross the host↔device tunnel
+    # every step (measured ~1.4 ms dispatch overhead per call on axon)
+    batches = [jax.device_put(b) for _, b in zip(range(4), loader)]
 
     for i in range(warmup):
         state, metrics = train_step(state, batches[i % len(batches)])
