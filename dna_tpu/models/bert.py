@@ -146,8 +146,12 @@ class BertForMLM(nn.Module):
                  *, deterministic: bool = True) -> jax.Array:
         h = self.encoder(input_ids, attention_mask, deterministic=deterministic)
         if positions is not None:
-            # masked-token-only prediction (reference `bert_layers.py:817-833`)
-            h = jnp.take_along_axis(h, positions[..., None], axis=1)
+            # masked-token-only prediction (reference `bert_layers.py:817-833`);
+            # matmul-backward gather — take_along_axis's VJP scatter is
+            # serialized by the TPU backend
+            from dna_tpu.ops.dense_grad import take_positions
+
+            h = take_positions(h, positions)
         h = self.transform(h)
         h = nn.gelu(h, approximate=False)
         h = self.transform_ln(h)

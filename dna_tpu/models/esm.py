@@ -123,7 +123,9 @@ class LearnedPositionalEmbeddings(nn.Module):
             (self.max_len + self.padding_idx + 2, self.d_model), jnp.float32)
         mask = (input_ids != self.padding_idx).astype(jnp.int32)
         positions = jnp.cumsum(mask, axis=1) * mask + self.padding_idx
-        return jnp.take(table, positions, axis=0)
+        from dna_tpu.ops.dense_grad import take_rows
+
+        return take_rows(table, positions)  # matmul-bwd (no TPU scatter)
 
 
 def tokens_dropout(x: jax.Array, input_ids: jax.Array, *, pad_token_id: int,
@@ -290,7 +292,9 @@ class EsmForMaskedLM(nn.Module):
         h = EsmEncoder(cfg, name="esm")(input_ids, attention_mask,
                                         deterministic=deterministic)
         if positions is not None:
-            h = jnp.take_along_axis(h, positions[..., None], axis=1)
+            from dna_tpu.ops.dense_grad import take_positions
+
+            h = take_positions(h, positions)  # matmul-bwd (no TPU scatter)
         h = dense(cfg.d_model, ("embed", "embed_out"),
                   dtype=jnp.dtype(cfg.dtype), name="head_dense")(h)
         h = 0.5 * h * (1.0 + jax.lax.erf(h.astype(jnp.float32) /

@@ -76,7 +76,12 @@ class TokenEmbed(nn.Module):
             "embedding",
             nn.with_logical_partitioning(default_kernel_init, ("vocab", "embed")),
             (self.vocab_size, self.d_model), jnp.float32)
-        out = jnp.take(table, ids, axis=0).astype(self.dtype)
+        from dna_tpu.ops.dense_grad import take_rows
+
+        # matmul-backward lookup: the plain take's VJP is a serialized
+        # per-row scatter-add on TPU (~16k sequential updates at the
+        # flagship bench point)
+        out = take_rows(table, ids).astype(self.dtype)
         return nn.with_logical_constraint(out, ("batch", "seq", "act_embed"))
 
     def attend(self, x: jax.Array) -> jax.Array:

@@ -300,11 +300,15 @@ class CaduceusBackbone(nn.Module):
                                if self.complement_map is not None
                                else char_complement_map(cfg.vocab_size))
             rc_ids = comp[jnp.flip(input_ids, axis=-1)]
-            fwd = jnp.take(embed_table, input_ids, axis=0)
-            rc = _rc(jnp.take(embed_table, rc_ids, axis=0))
+            from dna_tpu.ops.dense_grad import take_rows
+
+            fwd = take_rows(embed_table, input_ids)
+            rc = _rc(take_rows(embed_table, rc_ids))
             h = jnp.concatenate([fwd, rc], axis=-1).astype(dtype)  # [B,L,2d]
         else:
-            h = jnp.take(embed_table, input_ids, axis=0).astype(dtype)
+            from dna_tpu.ops.dense_grad import take_rows
+
+            h = take_rows(embed_table, input_ids).astype(dtype)
 
         mixer_kw = dict(d_model=d, d_state=cfg.d_state, d_conv=cfg.d_conv,
                         expand=cfg.expand, bidirectional=cfg.bidirectional,

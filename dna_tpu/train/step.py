@@ -45,17 +45,24 @@ def mlm_budget(seq_len: int, mlm_gather: float,
 
 def gather_mlm_positions(labels: jax.Array, budget: int):
     """Per-row indices of masked positions, padded to `budget`; gathered
-    labels are -100 past each row's true count (jit-safe static shapes)."""
+    labels are -100 past each row's true count (jit-safe static shapes).
+
+    Implemented as a batched stable argsort (masked positions first, in
+    index order) instead of `jnp.nonzero(size=...)`: nonzero lowers to a
+    cumsum + row scatter that the TPU backend serializes, while a batched
+    sort over the row axis is a vectorized bitonic network."""
     import jax.numpy as jnp
 
     mask = labels != -100
-
-    def per_row(m, lab):
-        (idx,) = jnp.nonzero(m, size=budget, fill_value=0)
-        valid = jnp.arange(budget) < m.sum()
-        return idx, jnp.where(valid, lab[idx], -100)
-
-    return jax.vmap(per_row)(mask, labels)
+    # stable ascending sort of (not mask): True-mask rows sort first, ties
+    # keep index order — exactly nonzero's output order, padded with the
+    # first unmasked indices which `valid` then zeroes out.
+    order = jnp.argsort(jnp.logical_not(mask), axis=-1, stable=True)
+    idx = order[:, :budget]
+    valid = jnp.arange(budget)[None, :] < mask.sum(axis=-1, keepdims=True)
+    idx = jnp.where(valid, idx, 0)
+    glabels = jnp.take_along_axis(labels, idx, axis=-1)
+    return idx, jnp.where(valid, glabels, -100)
 
 
 def make_forward_fn(model: nn.Module, task_fn,

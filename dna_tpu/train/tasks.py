@@ -32,7 +32,14 @@ def _cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     logits = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     safe = jnp.maximum(labels, 0)
-    gold = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    # one-hot multiply-reduce, NOT take_along_axis: the gather's VJP is a
+    # single-element scatter per position, which the TPU backend serializes
+    # (one loop iteration per update). The masked reduce fuses into the same
+    # pass XLA already makes over the logits, and its VJP is a fused
+    # broadcast-multiply.
+    onehot = (safe[..., None] == jnp.arange(logits.shape[-1])).astype(
+        logits.dtype)
+    gold = jnp.sum(logits * onehot, axis=-1)
     return logz - gold
 
 
