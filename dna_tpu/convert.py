@@ -18,6 +18,12 @@ Conventions:
 All converters take a flat `{key: np.ndarray}` state dict (use
 `load_torch_state_dict` for .bin/.ckpt files) and return the nested params
 dict matching `model.init(...)["params"]`.
+
+NOTE: for bitwise agreement with the torch source model, build the dna_tpu
+model with `gelu_approx=False` — the converted checkpoints were trained with
+torch's exact-erf F.gelu, while dna_tpu defaults to the tanh form (TPU VPU:
+erf ≈ 13× tanh; see ModelConfig.gelu_approx). For *finetuning from* a
+converted checkpoint the tanh default is fine (the forms agree to ~3e-4).
 """
 
 from __future__ import annotations

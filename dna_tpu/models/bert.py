@@ -69,7 +69,8 @@ class BertLayer(nn.Module):
             attn = nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
         x = layer_norm(eps=cfg.norm_eps, name="attn_ln")(attn + x).astype(attn.dtype)
         mlp = GLUMlp(cfg.d_ff, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
-                     dropout=cfg.dropout, name="mlp")(x, deterministic=deterministic)
+                     dropout=cfg.dropout, approximate=cfg.gelu_approx,
+                     name="mlp")(x, deterministic=deterministic)
         x = layer_norm(eps=cfg.norm_eps, name="mlp_ln")(mlp + x).astype(mlp.dtype)
         return x
 
@@ -153,7 +154,7 @@ class BertForMLM(nn.Module):
 
             h = take_positions(h, positions)
         h = self.transform(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=self.cfg.gelu_approx)
         h = self.transform_ln(h)
         if self.cfg.tie_embeddings:
             logits = self.encoder.embed.attend(h) + self.decoder_bias

@@ -297,8 +297,11 @@ class EsmForMaskedLM(nn.Module):
             h = take_positions(h, positions)  # matmul-bwd (no TPU scatter)
         h = dense(cfg.d_model, ("embed", "embed_out"),
                   dtype=jnp.dtype(cfg.dtype), name="head_dense")(h)
-        h = 0.5 * h * (1.0 + jax.lax.erf(h.astype(jnp.float32) /
-                                         jnp.sqrt(jnp.float32(2.0))))
+        if cfg.gelu_approx:
+            h = nn.gelu(h.astype(jnp.float32), approximate=True)
+        else:
+            h = 0.5 * h * (1.0 + jax.lax.erf(h.astype(jnp.float32) /
+                                             jnp.sqrt(jnp.float32(2.0))))
         h = layer_norm(eps=cfg.norm_eps, name="head_ln")(h)
         logits = dense(cfg.vocab_size, ("embed", "vocab"), use_bias=True,
                        dtype=jnp.float32, name="decoder")(h.astype(jnp.float32))

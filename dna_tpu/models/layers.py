@@ -105,13 +105,15 @@ class GLUMlp(nn.Module):
     d_model: int
     dtype: Dtype = jnp.bfloat16
     dropout: float = 0.0
+    # tanh-form GELU (see ModelConfig.gelu_approx); False = torch-exact erf
+    approximate: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         gated = dense(2 * self.d_ff, ("embed", "mlp"), use_bias=False,
                       dtype=self.dtype, name="wi")(x)
         gate, value = jnp.split(gated, 2, axis=-1)
-        h = nn.gelu(gate, approximate=False) * value
+        h = nn.gelu(gate, approximate=self.approximate) * value
         h = nn.with_logical_constraint(h, ("batch", "seq", "mlp"))
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -130,13 +132,14 @@ class Mlp(nn.Module):
     dtype: Dtype = jnp.bfloat16
     dropout: float = 0.0
     out_init: Optional[Callable] = None
+    # the reference's Mlp uses F.gelu's erf form (`standalone_hyenadna.py:433`)
+    # — set approximate=False for checkpoint parity (ModelConfig.gelu_approx)
+    approximate: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         h = dense(self.d_ff, ("embed", "mlp"), dtype=self.dtype, name="wi")(x)
-        # exact gelu: the reference's Mlp uses F.gelu's erf form
-        # (`standalone_hyenadna.py:433`), needed for checkpoint parity
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=self.approximate)
         h = nn.with_logical_constraint(h, ("batch", "seq", "mlp"))
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)

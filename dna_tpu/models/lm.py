@@ -85,10 +85,12 @@ class LMBlock(nn.Module):
                               top_k=cfg.moe_top_k,
                               capacity_factor=cfg.moe_capacity_factor,
                               aux_weight=cfg.moe_aux_weight,
+                              approximate=cfg.gelu_approx,
                               dtype=jnp.dtype(cfg.dtype))
         else:
             self.mlp = Mlp(cfg.d_ff, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
                            dropout=cfg.dropout,
+                           approximate=cfg.gelu_approx,
                            out_init=kaiming_init if cfg.gpt2_init else None)
         if cfg.dropout > 0.0:
             self.drop = nn.Dropout(cfg.dropout)

@@ -41,6 +41,7 @@ class MoEMlp(nn.Module):
     top_k: int = 2
     capacity_factor: float = 1.25
     aux_weight: float = 0.01
+    approximate: bool = True  # tanh GELU (ModelConfig.gelu_approx)
     dtype: object = jnp.bfloat16
 
     @nn.compact
@@ -101,7 +102,7 @@ class MoEMlp(nn.Module):
         h = jnp.einsum("ecd,edf->ecf", xe.astype(self.dtype),
                        w1.astype(self.dtype),
                        preferred_element_type=jnp.float32)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=self.approximate)
         h = nn.with_logical_constraint(h, ("expert", None, "mlp"))
         oe = jnp.einsum("ecf,efd->ecd", h.astype(self.dtype),
                         w2.astype(self.dtype),

@@ -96,7 +96,7 @@ def test_hyenadna_conversion_matches_torch():
         vocab_size=vocab, d_model=d_model, n_layers=n_layer, d_ff=d_inner,
         hyena_order=2, hyena_filter_order=16, hyena_filter_emb_dim=5,
         short_filter_len=3, hyena_filter_shift=0.05, dtype="float32",
-        use_flash=False, norm_eps=1e-5)
+        use_flash=False, norm_eps=1e-5, gelu_approx=False)
     params = convert_hyenadna(sd, cfg)
 
     from dna_tpu.models.lm import LMHeadModel
@@ -362,7 +362,8 @@ def test_dnabert2_conversion_matches_torch():
 
     jcfg = ModelConfig(vocab_size=64, d_model=32, n_layers=2, n_heads=2,
                        d_ff=128, alibi=True, use_flash=False,
-                       dtype="float32", type_vocab_size=2)
+                       dtype="float32", type_vocab_size=2,
+                       gelu_approx=False)
     from dna_tpu.models.bert import BertForMLM
 
     jmodel = BertForMLM(jcfg)
@@ -431,7 +432,8 @@ def test_ntv2_conversion_matches_torch():
 
         jcfg = ModelConfig(vocab_size=64, d_model=32, n_layers=2, n_heads=2,
                            d_ff=64, use_flash=False, dtype="float32",
-                           tie_embeddings=False, rotary=True)
+                           tie_embeddings=False, rotary=True,
+                           gelu_approx=False)
         from dna_tpu.models.esm import EsmForMaskedLM
 
         jmodel = EsmForMaskedLM(jcfg)
