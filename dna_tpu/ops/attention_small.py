@@ -98,7 +98,7 @@ def _fwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         o_ref[g, :, sl] = oh.astype(o_ref.dtype)
 
 
-def _bwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+def _bwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref,
                 dq_ref, dk_ref, dv_ref, *, n_heads: int, head_dim: int,
                 causal: bool, alibi: bool, scale: float):
     S = q_ref.shape[1]
@@ -113,6 +113,7 @@ def _bwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
         kh = k_ref[g, :, sl]
         vh = v_ref[g, :, sl]
         doh = do_ref[g, :, sl]
+        oh = o_ref[g, :, sl].astype(jnp.float32)  # saved fwd output
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -121,9 +122,6 @@ def _bwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
             s = s - slope_ref[h] * rel
         p = _softmax_p(s)
         pb = p.astype(vh.dtype)
-        # o is recomputed for delta = rowsum(do∘o) — cheaper than saving it
-        oh = jax.lax.dot_general(pb, vh, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
         do32 = doh.astype(jnp.float32)
         delta = jnp.sum(do32 * oh, axis=-1, keepdims=True)  # [S, 1]
         dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
@@ -188,7 +186,7 @@ def _fwd_kernel_tile(slope_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
             o_ref[g, :, tl] = o_tile.astype(o_ref.dtype)
 
 
-def _bwd_kernel_tile(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+def _bwd_kernel_tile(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref,
                      dq_ref, dk_ref, dv_ref, *, n_heads: int, head_dim: int,
                      causal: bool, alibi: bool, scale: float):
     S = q_ref.shape[1]
@@ -206,6 +204,7 @@ def _bwd_kernel_tile(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
             kp = k_ref[g, :, tl]
             vp = v_ref[g, :, tl]
             dop = do_ref[g, :, tl]
+            op = o_ref[g, :, tl].astype(jnp.float32)  # saved fwd output
             dq_t = jnp.zeros((S, 128), jnp.float32)
             dk_t = jnp.zeros((S, 128), jnp.float32)
             dv_t = jnp.zeros((S, 128), jnp.float32)
@@ -223,10 +222,8 @@ def _bwd_kernel_tile(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                     s = s - slope_ref[h] * rel
                 p = _softmax_p(s)
                 pb = p.astype(vp.dtype)
-                # head-j lanes of p @ vp are o_j; others are masked out below
-                of = jax.lax.dot_general(pb, vp, (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                delta = jnp.sum(doj.astype(jnp.float32) * of, axis=-1,
+                # doj is lane-masked, so the saved o picks head j's lanes
+                delta = jnp.sum(doj.astype(jnp.float32) * op, axis=-1,
                                 keepdims=True)
                 dp = jax.lax.dot_general(doj, vp, (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32)
@@ -313,7 +310,7 @@ def _fwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, o_ref, *, n_heads: int,
             o_ref[g, :, pl.ds(t * width, width)] = o_tile.astype(o_ref.dtype)
 
 
-def _bwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, do_ref, dqkv_ref, *,
+def _bwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, do_ref, o_ref, dqkv_ref, *,
                     n_heads: int, head_dim: int, causal: bool, alibi: bool,
                     scale: float):
     S = qkv_ref.shape[1]
@@ -331,24 +328,27 @@ def _bwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, do_ref, dqkv_ref, *,
             kp = qkv_ref[g, :, pl.ds(HD + t * width, width)]
             vp = qkv_ref[g, :, pl.ds(2 * HD + t * width, width)]
             dop = do_ref[g, :, pl.ds(t * width, width)]
+            op = o_ref[g, :, pl.ds(t * width, width)]
             if T > 1:
                 q_cat = jnp.concatenate(
                     [qp * lane_masks[j] for j in range(T)], axis=0)
                 do_cat = jnp.concatenate(
                     [dop * lane_masks[j] for j in range(T)], axis=0)
+                # do_cat is lane-masked, so the unmasked stacked o picks out
+                # exactly head j's lanes in the delta product
+                o_cat = jnp.concatenate([op] * T, axis=0)
             else:
-                q_cat, do_cat = qp, dop
+                q_cat, do_cat, o_cat = qp, dop, op
             s = jax.lax.dot_general(
                 q_cat, kp, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             s = s + _cat_bias(bias, rel, slope_ref, t, T, alibi)
             p = _softmax_p(s)                 # [T·S, S]
             pb = p.astype(vp.dtype)
-            # o recomputed stacked: head j's output sits in its own lanes of
-            # rows [jS, (j+1)S) — exactly where the masked do_cat reads it
-            o_cat = jax.lax.dot_general(pb, vp, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            delta = jnp.sum(do_cat.astype(jnp.float32) * o_cat, axis=-1,
+            # delta from the SAVED fwd output instead of a PV-recompute
+            # matmul (o is resident in HBM anyway as the out-proj's input)
+            delta = jnp.sum(do_cat.astype(jnp.float32)
+                            * o_cat.astype(jnp.float32), axis=-1,
                             keepdims=True)    # [T·S, 1]
             dp = jax.lax.dot_general(do_cat, vp, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -446,13 +446,15 @@ def _fwd_impl(q, k, v, mask, slopes, *, n_heads, causal, alibi, scale):
     )(slopes, *inputs)
 
 
-def _bwd_impl(q, k, v, mask, slopes, do, *, n_heads, causal, alibi, scale):
+def _bwd_impl(q, k, v, mask, slopes, do, o, *, n_heads, causal, alibi,
+              scale):
     B, S, HD = q.shape
     head_dim = HD // n_heads
-    G = _group(B, S, HD, n_bufs=7, direction="bwd")
+    G = _group(B, S, HD, n_bufs=8, direction="bwd")
     xspec, in_specs = _specs(B, S, HD, mask is not None, G)
     in_specs.append(xspec)  # do
-    inputs = [q, k, v] + ([mask] if mask is not None else []) + [do]
+    in_specs.append(xspec)  # o (saved fwd output, for delta)
+    inputs = [q, k, v] + ([mask] if mask is not None else []) + [do, o]
     kfn = _bwd_kernel_tile if _use_tile(head_dim) else _bwd_kernel
     kernel = functools.partial(kfn, n_heads=n_heads,
                                head_dim=head_dim, causal=causal, alibi=alibi,
@@ -483,14 +485,14 @@ def _small(q, k, v, mask, slopes, n_heads, causal, alibi, scale):
 def _small_fwd(q, k, v, mask, slopes, n_heads, causal, alibi, scale):
     o = _fwd_impl(q, k, v, mask, slopes, n_heads=n_heads, causal=causal,
                   alibi=alibi, scale=scale)
-    return o, (q, k, v, mask, slopes)
+    return o, (q, k, v, mask, slopes, o)
 
 
 def _small_bwd(n_heads, causal, alibi, scale, res, do):
     from dna_tpu.ops.flash_attention import _zero_ct
 
-    q, k, v, mask, slopes = res
-    dq, dk, dv = _bwd_impl(q, k, v, mask, slopes, do, n_heads=n_heads,
+    q, k, v, mask, slopes, o = res
+    dq, dk, dv = _bwd_impl(q, k, v, mask, slopes, do, o, n_heads=n_heads,
                            causal=causal, alibi=alibi, scale=scale)
     return dq, dk, dv, _zero_ct(mask), jnp.zeros_like(slopes)
 
@@ -527,18 +529,20 @@ def _fwd_impl_qkv(qkv, mask, slopes, *, n_heads, causal, alibi, scale):
     )(slopes, *inputs)
 
 
-def _bwd_impl_qkv(qkv, mask, slopes, do, *, n_heads, causal, alibi, scale):
+def _bwd_impl_qkv(qkv, mask, slopes, do, o, *, n_heads, causal, alibi,
+                  scale):
     B, S, HD3 = qkv.shape
     HD = HD3 // 3
     head_dim = HD // n_heads
-    G = _group(B, S, HD, n_bufs=8, direction="bwd")
+    G = _group(B, S, HD, n_bufs=9, direction="bwd")
     qkv_spec = pl.BlockSpec((G, S, HD3), lambda b, *_: (b, 0, 0))
     o_spec = pl.BlockSpec((G, S, HD), lambda b, *_: (b, 0, 0))
     in_specs = [qkv_spec]
     if mask is not None:
         in_specs.append(pl.BlockSpec((G, 1, S), lambda b, *_: (b, 0, 0)))
     in_specs.append(o_spec)  # do
-    inputs = [qkv] + ([mask] if mask is not None else []) + [do]
+    in_specs.append(o_spec)  # o (saved fwd output, for delta)
+    inputs = [qkv] + ([mask] if mask is not None else []) + [do, o]
     kernel = functools.partial(_bwd_kernel_qkv, n_heads=n_heads,
                                head_dim=head_dim, causal=causal, alibi=alibi,
                                scale=scale)
@@ -566,14 +570,14 @@ def _small_qkv(qkv, mask, slopes, n_heads, causal, alibi, scale):
 def _small_qkv_fwd(qkv, mask, slopes, n_heads, causal, alibi, scale):
     o = _fwd_impl_qkv(qkv, mask, slopes, n_heads=n_heads, causal=causal,
                       alibi=alibi, scale=scale)
-    return o, (qkv, mask, slopes)
+    return o, (qkv, mask, slopes, o)
 
 
 def _small_qkv_bwd(n_heads, causal, alibi, scale, res, do):
     from dna_tpu.ops.flash_attention import _zero_ct
 
-    qkv, mask, slopes = res
-    dqkv = _bwd_impl_qkv(qkv, mask, slopes, do, n_heads=n_heads,
+    qkv, mask, slopes, o = res
+    dqkv = _bwd_impl_qkv(qkv, mask, slopes, do, o, n_heads=n_heads,
                          causal=causal, alibi=alibi, scale=scale)
     return dqkv, _zero_ct(mask), jnp.zeros_like(slopes)
 
@@ -621,7 +625,7 @@ def supports(S: int, H: int, D: int) -> bool:
     kernels hold stacked [T·S, S] fp32 temporaries (T heads per 128-lane
     tile), so the temporaries term scales with T."""
     T = max(1, 128 // D) if 128 % D == 0 else 1
-    vmem = 7 * 2 * S * H * D * 2 + 6 * T * S * S * 4
+    vmem = 8 * 2 * S * H * D * 2 + 6 * T * S * S * 4
     return (S % 128 == 0 and (H * D) % 128 == 0 and D <= 256
             and vmem <= 12 * 1024 * 1024)
 
