@@ -65,7 +65,10 @@ def multihead_attention(
         # class of knob as DNA_TPU_ATTN_STREAM_S in flash_attention.py.
         min_s = int(_os.environ.get("DNA_TPU_FLASH_MIN_S", "512"))
         impl = "flash" if (D % 128 == 0 or D in (64,)) and S >= min_s else "ref"
-        if (impl == "ref" and sp_mesh is None and tp_mesh is None
+        # the small kernel wins over flash everywhere supports() allows
+        # (40 MB VMEM budget → S ≤ 512 at H·D=768): measured fwd+bwd on v5e
+        # 2.1 vs 3.4 ms at S=384/B=48 and 2.1 vs 5.3 ms at S=512/B=32
+        if (impl in ("ref", "flash") and sp_mesh is None and tp_mesh is None
                 and attention_small.supports(S, H, D)
                 and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
             # tp>1 guard: the small kernel's custom call is replicated (not
@@ -148,7 +151,6 @@ def multihead_attention_qkv(
     B, S, three, H, D = qkv.shape
     sp_mesh = _ambient_sp_mesh()
     if (impl == "auto" and sp_mesh is None and _ambient_tp_mesh() is None
-            and S < 512
             and attention_small.supports_qkv(S, H, D)
             and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
         return attention_small.fused_small_attention_qkv(

@@ -627,7 +627,7 @@ def supports(S: int, H: int, D: int) -> bool:
     T = max(1, 128 // D) if 128 % D == 0 else 1
     vmem = 8 * 2 * S * H * D * 2 + 6 * T * S * S * 4
     return (S % 128 == 0 and (H * D) % 128 == 0 and D <= 256
-            and vmem <= 12 * 1024 * 1024)
+            and vmem <= VMEM_LIMIT * 2 // 5)
 
 
 def fused_small_attention(
