@@ -156,10 +156,17 @@ class BertForMLM(nn.Module):
         h = self.transform(h)
         h = nn.gelu(h, approximate=self.cfg.gelu_approx)
         h = self.transform_ln(h)
+        # flatten [B, K, D] -> [B*K, D] for the vocab projection: a 3-D
+        # einsum here becomes B separate [K, 768]x[768, V] matmuls (XLA
+        # lowers the batched dot as a convolution — profiled at 4.2 ms vs
+        # ~0.4 ms for the single flattened matmul at the flagship point)
+        B, K = h.shape[0], h.shape[1]
+        hf = h.reshape(B * K, h.shape[2])
         if self.cfg.tie_embeddings:
-            logits = self.encoder.embed.attend(h) + self.decoder_bias
+            logits = self.encoder.embed.attend(hf) + self.decoder_bias
         else:
-            logits = self.decoder(h).astype(jnp.float32)
+            logits = self.decoder(hf).astype(jnp.float32)
+        logits = logits.reshape(B, K, -1)
         return nn.with_logical_constraint(logits, ("batch", "seq", "vocab"))
 
 

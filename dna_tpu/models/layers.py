@@ -90,7 +90,7 @@ class TokenEmbed(nn.Module):
         table = self.get_variable("params", "embedding")
         if hasattr(table, "unbox"):
             table = table.unbox()
-        return jnp.einsum("bsd,vd->bsv", x.astype(self.dtype),
+        return jnp.einsum("...d,vd->...v", x.astype(self.dtype),
                           table.astype(self.dtype),
                           preferred_element_type=jnp.float32)
 
