@@ -148,12 +148,14 @@ def _layer_decay_scales(params, decay: float) -> Any:
 @registry.optimizer.register("adamw")
 def _adamw(lr, cfg: OptimizerConfig):
     return optax.adamw(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
-                       weight_decay=cfg.weight_decay, mask=_decay_mask)
+                       weight_decay=cfg.weight_decay, mask=_decay_mask,
+                       mu_dtype=cfg.mu_dtype)
 
 
 @registry.optimizer.register("adam")
 def _adam(lr, cfg: OptimizerConfig):
-    return optax.adam(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps)
+    return optax.adam(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+                      mu_dtype=cfg.mu_dtype)
 
 
 @registry.optimizer.register("sgd")

@@ -83,3 +83,28 @@ def test_seqlen_stages_with_real_dataset(tmp_path):
     changed = jax.tree_util.tree_map(
         lambda a, b: not np.allclose(a, b), p0, loop.state.params)
     assert any(jax.tree_util.tree_leaves(changed))
+
+
+def test_mu_dtype_bf16():
+    """optimizer.mu_dtype=bfloat16 stores Adam's first moment in bf16 and
+    still trains (loss finite, params move)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dna_tpu.config.core import OptimizerConfig, SchedulerConfig
+    from dna_tpu.train.optim import build_optimizer
+
+    ocfg = OptimizerConfig(name="adamw", lr=1e-2, mu_dtype="bfloat16")
+    scfg = SchedulerConfig(name="constant")
+    tx, _ = build_optimizer(ocfg, scfg)
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    state = tx.init(params)
+    mus = [l for l in jax.tree_util.tree_leaves(state)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment found in optimizer state"
+    g = {"w": jnp.full((4, 4), 0.5, jnp.float32)}
+    upd, state = tx.update(g, state, params)
+    new = optax.apply_updates(params, upd)
+    assert bool(jnp.isfinite(new["w"]).all())
+    assert float(jnp.abs(new["w"] - params["w"]).max()) > 0
