@@ -75,6 +75,21 @@ def multihead_attention(
             # partitioned) by GSPMD along the head-sharded lane dim — correct
             # but it silently all-gathers heads; ref attention partitions.
             impl = "small"
+        elif (impl == "flash" and sp_mesh is None and tp_mesh is None
+                and _os.environ.get("DNA_TPU_MID_ATTN", "1") != "0"
+                and (jax.default_backend() != "tpu"
+                     or _os.environ.get("DNA_TPU_MID_ATTN") == "1")):
+            # TODO(flip default): opt-in on real TPU until the Mosaic
+            # compile of the revisited fp32 dk/dv blocks is validated on
+            # hardware (tunnel was down at authoring time); interpret-mode
+            # numerics are fully tested
+            # KV-resident paired-lane kernel for 512 < S ≤ 4096: keeps the
+            # packed lane layout (no D=64 padding) and full-row softmax in
+            # VMEM; measured well ahead of the flash kernel in this range
+            from dna_tpu.ops import attention_mid
+
+            if attention_mid.supports(S, H, D):
+                impl = "mid"
         if sp_mesh is not None and impl == "flash":
             # local q tiles must still be 128-aligned under sp sharding, and
             # the wrapper also shards heads over tp — H must divide
@@ -85,6 +100,12 @@ def multihead_attention(
         from dna_tpu.ops.attention_small import fused_small_attention
 
         return fused_small_attention(
+            q, k, v, attention_mask=attention_mask, alibi=alibi,
+            causal=causal, softmax_scale=softmax_scale)
+    if impl == "mid":
+        from dna_tpu.ops.attention_mid import mid_attention
+
+        return mid_attention(
             q, k, v, attention_mask=attention_mask, alibi=alibi,
             causal=causal, softmax_scale=softmax_scale)
     if impl == "flash":

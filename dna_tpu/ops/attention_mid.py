@@ -1,0 +1,327 @@
+"""KV-resident paired-lane attention for the mid/long-S range (Pallas TPU).
+
+Fills the gap between the fused small-S kernel (`attention_small`, S ≤ 512)
+and the K/V-streaming flash kernels (`flash_attention`, S ≳ 16k). The flash
+kernel's [B, H, S, D] decomposition pays twice at D=64: every q/k/v/o tile
+pads 64 lanes to 128 (2× HBM + VMEM waste — the "known next perf lever" of
+CLAUDE.md), and its per-(b, h) grid does tiny [bq, 64] matmuls with online
+softmax rescaling. Measured at S=4096 fwd+bwd (B=4, H=12, D=64) the flash
+kernel reaches ~13% MFU.
+
+This kernel instead:
+  * keeps the packed [B, S, H·D] activation layout end-to-end — H·D is a
+    multiple of 128, nothing pads, and no [B, H, S, D] transpose is ever
+    materialized;
+  * stacks T = 128//D heads per 128-lane tile on the *sublane* axis
+    (lane-masked contraction operands isolate each head — the
+    `attention_small` trick), so score matmuls are [T·Sq, 128] x [128, S]
+    with S output lanes: big, MXU-friendly shapes;
+  * holds K and V for one batch row *resident in VMEM* (the raised
+    100 MB scoped limit makes 2·S·H·D bf16 fit up to S ≈ 16k at H·D=768)
+    while q tiles stream through the grid — softmax is over the full key
+    row (exact, no online rescale, no lse), and probabilities never touch
+    HBM in either direction;
+  * backward is ONE kernel producing dq per q-tile plus dk/dv accumulated
+    across q-tiles into a revisited output block (grid (B, n_q) with the
+    q-tile dimension "arbitrary"), recomputing scores/softmax in VMEM.
+
+Replaces the same reference component as the flash kernels: the Triton
+flash-attention-with-bias (`src/models/DNABERT2/flash_attn_triton.py:767+`)
+for the 512 < S ≲ 16k regime.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dna_tpu.ops.attention_ref import alibi_slopes
+from dna_tpu.ops.attention_small import (
+    NEG_INF,
+    VMEM_LIMIT,
+    _interpret,
+    _lane_head_masks,
+    _softmax_p,
+)
+
+
+def _rel_and_bias(Sq: int, S: int, q_off, mask_row, causal: bool,
+                  alibi: bool):
+    """Shared per-q-tile [Sq, S] fp32 additive bias (pad + causal) and the
+    |i-j| matrix for ALiBi (None when unused). Row i is global q_off + i."""
+    bias = jnp.zeros((Sq, S), jnp.float32)
+    if mask_row is not None:
+        bias = bias + jnp.where(mask_row[None, :] != 0, 0.0, NEG_INF)
+    rel = None
+    if causal or alibi:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Sq, S), 0) + q_off
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Sq, S), 1)
+        if causal:
+            bias = jnp.where(rows >= cols, bias, NEG_INF)
+        if alibi:
+            rel = jnp.abs(rows - cols).astype(jnp.float32)
+    return bias, rel
+
+
+def _cat_bias(bias, rel, slope_ref, t, T, alibi):
+    if not alibi:
+        return jnp.concatenate([bias] * T, axis=0) if T > 1 else bias
+    parts = [bias - slope_ref[t * T + j] * rel for j in range(T)]
+    return jnp.concatenate(parts, axis=0) if T > 1 else parts[0]
+
+
+def _stack(x, lane_masks, T):
+    """[Sq, 128] -> [T·Sq, 128] with head-j lanes isolated per row block."""
+    if T == 1:
+        return x
+    return jnp.concatenate([x * m for m in lane_masks], axis=0)
+
+
+def _fold(x_cat, lane_masks, Sq, T):
+    """[T·Sq, 128] -> [Sq, 128]: keep head-j lanes of row block j."""
+    if T == 1:
+        return x_cat
+    return sum(x_cat[j * Sq:(j + 1) * Sq] * lane_masks[j].astype(x_cat.dtype)
+               for j in range(T))
+
+
+def _fwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                n_heads: int, head_dim: int, causal: bool, alibi: bool,
+                scale: float, q_tile: int):
+    Sq = q_ref.shape[1]
+    S = k_ref.shape[1]
+    HD = q_ref.shape[2]
+    T = max(1, 128 // head_dim)
+    i = pl.program_id(1)
+    q_off = i * q_tile
+    mask_row = mask_ref[0, 0, :] if mask_ref is not None else None
+    bias, rel = _rel_and_bias(Sq, S, q_off, mask_row, causal, alibi)
+    lane_masks = _lane_head_masks(Sq, T, q_ref.dtype) if T > 1 else None
+    for t in range(HD // 128):
+        tl = pl.ds(t * 128, 128)
+        q_cat = _stack(q_ref[0, :, tl], lane_masks, T)      # [T·Sq, 128]
+        s = jax.lax.dot_general(
+            q_cat, k_ref[0, :, tl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [T·Sq, S]
+        s = s + _cat_bias(bias, rel, slope_ref, t, T, alibi)
+        p = _softmax_p(s)
+        o_cat = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, :, tl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [T·Sq, 128]
+        o_ref[0, :, tl] = _fold(o_cat, lane_masks, Sq, T).astype(o_ref.dtype)
+
+
+def _bwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref,
+                dq_ref, dk_ref, dv_ref, *, n_heads: int, head_dim: int,
+                causal: bool, alibi: bool, scale: float, q_tile: int):
+    Sq = q_ref.shape[1]
+    S = k_ref.shape[1]
+    HD = q_ref.shape[2]
+    T = max(1, 128 // head_dim)
+    i = pl.program_id(1)
+    q_off = i * q_tile
+
+    # dk/dv blocks are revisited across the (sequential) q-tile dimension
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    mask_row = mask_ref[0, 0, :] if mask_ref is not None else None
+    bias, rel = _rel_and_bias(Sq, S, q_off, mask_row, causal, alibi)
+    lane_masks = _lane_head_masks(Sq, T, q_ref.dtype) if T > 1 else None
+    for t in range(HD // 128):
+        tl = pl.ds(t * 128, 128)
+        kp = k_ref[0, :, tl]
+        vp = v_ref[0, :, tl]
+        q_cat = _stack(q_ref[0, :, tl], lane_masks, T)
+        do_cat = _stack(do_ref[0, :, tl], lane_masks, T)
+        o_cat = (jnp.concatenate([o_ref[0, :, tl]] * T, axis=0)
+                 if T > 1 else o_ref[0, :, tl])
+        s = jax.lax.dot_general(
+            q_cat, kp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + _cat_bias(bias, rel, slope_ref, t, T, alibi)
+        p = _softmax_p(s)                                    # [T·Sq, S]
+        pb = p.astype(vp.dtype)
+        # delta from the saved fwd output (do_cat is lane-masked, so the
+        # unmasked stacked o picks exactly head j's lanes)
+        delta = jnp.sum(do_cat.astype(jnp.float32)
+                        * o_cat.astype(jnp.float32), axis=-1, keepdims=True)
+        dp = jax.lax.dot_general(do_cat, vp, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta) * scale).astype(q_ref.dtype)  # [T·Sq, S]
+        dq_cat = jax.lax.dot_general(
+            ds, kp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_ref[0, :, tl] = _fold(dq_cat, lane_masks, Sq, T).astype(
+            dq_ref.dtype)
+        # contract over the stacked T·Sq rows: sums the per-head masked
+        # contributions in one matmul
+        dk_t = jax.lax.dot_general(
+            ds, q_cat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [S, 128]
+        dv_t = jax.lax.dot_general(
+            pb, do_cat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_ref[0, :, tl] += dk_t
+        dv_ref[0, :, tl] += dv_t
+
+
+def _plan(S: int, H: int, D: int):
+    """Pick the largest q tile (divisor of S, 128 ≤ qt ≤ 512) whose VMEM
+    footprint fits ~4/5 of the scoped budget, or None if none fits.
+
+    Footprint (backward, the worst case): resident K/V bf16 (constant block
+    index → single-buffered), fp32 dk/dv accumulator blocks (revisited →
+    single-buffered), double-buffered q/do/o/dq tiles, and ~4 live fp32
+    [T·qt, S] score-sized temporaries."""
+    import os
+
+    if not (S % 128 == 0 and (H * D) % 128 == 0 and D <= 128
+            and 128 % D == 0):
+        return None
+    HD = H * D
+    T = max(1, 128 // D)
+    env = os.environ.get("DNA_TPU_MID_ATTN_QT")
+    budget = VMEM_LIMIT * 4 // 5
+    for qt in (512, 256, 128):
+        if env:
+            qt = int(env)
+        if S % qt:
+            continue
+        kv_in = 2 * S * HD * 2
+        dkv_out = 2 * S * HD * 4
+        tiles = 4 * 2 * qt * HD * 2
+        scores = 4 * T * qt * S * 4
+        if kv_in + dkv_out + tiles + scores <= budget or env:
+            return qt
+    return None
+
+
+def supports(S: int, H: int, D: int) -> bool:
+    return _plan(S, H, D) is not None
+
+
+def _specs(B, S, HD, qt, with_mask):
+    q_spec = pl.BlockSpec((1, qt, HD), lambda b, i, *_: (b, i, 0))
+    kv_spec = pl.BlockSpec((1, S, HD), lambda b, i, *_: (b, 0, 0))
+    in_specs = [q_spec, kv_spec, kv_spec]
+    if with_mask:
+        in_specs.append(pl.BlockSpec((1, 1, S), lambda b, i, *_: (b, 0, 0)))
+    return q_spec, kv_spec, in_specs
+
+
+def _mask_none_wrapper(kernel, mask_pos, *refs, **kw):
+    refs = list(refs)
+    refs.insert(mask_pos, None)
+    return kernel(*refs, **kw)
+
+
+def _fwd_impl(q, k, v, mask, slopes, *, n_heads, causal, alibi, scale):
+    B, S, HD = q.shape
+    head_dim = HD // n_heads
+    qt = _plan(S, n_heads, head_dim)
+    q_spec, kv_spec, in_specs = _specs(B, S, HD, qt, mask is not None)
+    inputs = [q, k, v] + ([mask] if mask is not None else [])
+    kernel = functools.partial(_fwd_kernel, n_heads=n_heads,
+                               head_dim=head_dim, causal=causal, alibi=alibi,
+                               scale=scale, q_tile=qt)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, S // qt), in_specs=in_specs,
+            out_specs=q_spec),
+        out_shape=jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(slopes, *inputs)
+
+
+def _bwd_impl(q, k, v, mask, slopes, do, o, *, n_heads, causal, alibi,
+              scale):
+    B, S, HD = q.shape
+    head_dim = HD // n_heads
+    qt = _plan(S, n_heads, head_dim)
+    q_spec, kv_spec, in_specs = _specs(B, S, HD, qt, mask is not None)
+    in_specs.append(q_spec)   # do
+    in_specs.append(q_spec)   # o
+    inputs = ([q, k, v] + ([mask] if mask is not None else []) + [do, o])
+    kernel = functools.partial(_bwd_kernel, n_heads=n_heads,
+                               head_dim=head_dim, causal=causal, alibi=alibi,
+                               scale=scale, q_tile=qt)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, S // qt), in_specs=in_specs,
+            out_specs=(q_spec, kv_spec, kv_spec)),
+        # dk/dv accumulate across q-tiles — fp32 blocks, cast by the caller
+        out_shape=(jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, S, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((B, S, HD), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(slopes, *inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _mid(q, k, v, mask, slopes, n_heads, causal, alibi, scale):
+    return _fwd_impl(q, k, v, mask, slopes, n_heads=n_heads, causal=causal,
+                     alibi=alibi, scale=scale)
+
+
+def _mid_fwd(q, k, v, mask, slopes, n_heads, causal, alibi, scale):
+    o = _fwd_impl(q, k, v, mask, slopes, n_heads=n_heads, causal=causal,
+                  alibi=alibi, scale=scale)
+    return o, (q, k, v, mask, slopes, o)
+
+
+def _mid_bwd(n_heads, causal, alibi, scale, res, do):
+    from dna_tpu.ops.flash_attention import _zero_ct
+
+    q, k, v, mask, slopes, o = res
+    dq, dk, dv = _bwd_impl(q, k, v, mask, slopes, do, o, n_heads=n_heads,
+                           causal=causal, alibi=alibi, scale=scale)
+    return (dq, dk.astype(k.dtype), dv.astype(v.dtype), _zero_ct(mask),
+            jnp.zeros_like(slopes))
+
+
+_mid.defvjp(_mid_fwd, _mid_bwd)
+
+
+def mid_attention(
+    q: jax.Array,  # [B, S, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    attention_mask: Optional[jax.Array] = None,  # [B, S] 1=keep
+    alibi: bool = False,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+) -> jax.Array:
+    """KV-resident paired-lane attention; returns [B, S, H, D]."""
+    B, S, H, D = q.shape
+    if not supports(S, H, D):
+        raise ValueError(f"mid_attention: unsupported shape S={S} H={H} D={D}")
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    slopes = alibi_slopes(H) if alibi else jnp.zeros((H,), jnp.float32)
+    mask = None
+    if attention_mask is not None:
+        mask = attention_mask.astype(jnp.int32)[:, None, :]
+    # [B, S, H, D] → [B, S, H·D]: row-major bitcast, not a transpose
+    qf, kf, vf = (x.reshape(B, S, H * D) for x in (q, k, v))
+    o = _mid(qf, kf, vf, mask, slopes, H, causal, alibi, scale)
+    return o.reshape(B, S, H, D)
