@@ -71,10 +71,15 @@ def multihead_attention(
         if (impl in ("ref", "flash") and sp_mesh is None and tp_mesh is None
                 and attention_small.supports(S, H, D)
                 and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
-            # tp>1 guard: the small kernel's custom call is replicated (not
-            # partitioned) by GSPMD along the head-sharded lane dim — correct
-            # but it silently all-gathers heads; ref attention partitions.
             impl = "small"
+        elif (impl in ("ref", "flash") and sp_mesh is None
+                and tp_mesh is not None
+                and H % tp_mesh.shape["tp"] == 0
+                and attention_small.supports(S, H // tp_mesh.shape["tp"], D)
+                and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
+            # tp>1: shard_map the kernel over the head axis (a bare custom
+            # call would be replicated by GSPMD and all-gather the heads)
+            impl = "small_tp"
         elif (impl == "flash" and sp_mesh is None and tp_mesh is None
                 and _os.environ.get("DNA_TPU_MID_ATTN", "1") != "0"
                 and (jax.default_backend() != "tpu"
@@ -101,6 +106,12 @@ def multihead_attention(
 
         return fused_small_attention(
             q, k, v, attention_mask=attention_mask, alibi=alibi,
+            causal=causal, softmax_scale=softmax_scale)
+    if impl == "small_tp":
+        from dna_tpu.ops.attention_small import tp_small_attention
+
+        return tp_small_attention(
+            q, k, v, tp_mesh, attention_mask=attention_mask, alibi=alibi,
             causal=causal, softmax_scale=softmax_scale)
     if impl == "mid":
         from dna_tpu.ops.attention_mid import mid_attention
@@ -171,11 +182,21 @@ def multihead_attention_qkv(
 
     B, S, three, H, D = qkv.shape
     sp_mesh = _ambient_sp_mesh()
-    if (impl == "auto" and sp_mesh is None and _ambient_tp_mesh() is None
+    tp_mesh = _ambient_tp_mesh()
+    if (impl == "auto" and sp_mesh is None and tp_mesh is None
             and attention_small.supports_qkv(S, H, D)
             and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
         return attention_small.fused_small_attention_qkv(
             qkv, H, attention_mask=attention_mask, alibi=alibi,
+            causal=causal, softmax_scale=softmax_scale)
+    if (impl == "auto" and sp_mesh is None and tp_mesh is not None
+            and H % tp_mesh.shape["tp"] == 0
+            and attention_small.supports_qkv(S, H // tp_mesh.shape["tp"], D)
+            and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
+        # shard_map over the head axis: each tp shard runs the kernel on its
+        # own contiguous lane block (no replicated custom call / head gather)
+        return attention_small.tp_small_attention_qkv(
+            qkv, H, tp_mesh, attention_mask=attention_mask, alibi=alibi,
             causal=causal, softmax_scale=softmax_scale)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     out = multihead_attention(

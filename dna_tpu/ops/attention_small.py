@@ -597,6 +597,8 @@ def fused_small_attention_qkv(
     alibi: bool = False,
     causal: bool = False,
     softmax_scale: Optional[float] = None,
+    slopes: Optional[jax.Array] = None,  # explicit per-head ALiBi slopes
+                                         # (tp shard_map passes a head shard)
 ) -> jax.Array:
     """Attention straight from the fused QKV projection output; returns
     [B, S, H·D]. Avoids the q/k/v slice + reshape copies entirely."""
@@ -610,8 +612,9 @@ def fused_small_attention_qkv(
         raise ValueError(f"fused_small_attention_qkv: unsupported "
                          f"S={S} H={n_heads} D={D}")
     scale = softmax_scale if softmax_scale is not None else D ** -0.5
-    slopes = alibi_slopes(n_heads) if alibi else jnp.zeros((n_heads,),
-                                                           jnp.float32)
+    if slopes is None:
+        slopes = alibi_slopes(n_heads) if alibi else jnp.zeros((n_heads,),
+                                                               jnp.float32)
     mask = None
     if attention_mask is not None:
         mask = attention_mask.astype(jnp.int32)[:, None, :]
@@ -639,13 +642,15 @@ def fused_small_attention(
     alibi: bool = False,
     causal: bool = False,
     softmax_scale: Optional[float] = None,
+    slopes: Optional[jax.Array] = None,  # explicit per-head ALiBi slopes
 ) -> jax.Array:
     B, S, H, D = q.shape
     if not supports(S, H, D):
         raise ValueError(f"fused_small_attention: unsupported shape "
                          f"S={S} H={H} D={D}")
     scale = softmax_scale if softmax_scale is not None else D ** -0.5
-    slopes = alibi_slopes(H) if alibi else jnp.zeros((H,), jnp.float32)
+    if slopes is None:
+        slopes = alibi_slopes(H) if alibi else jnp.zeros((H,), jnp.float32)
     mask = None
     if attention_mask is not None:
         mask = attention_mask.astype(jnp.int32)[:, None, :]
@@ -653,3 +658,90 @@ def fused_small_attention(
     qf, kf, vf = (x.reshape(B, S, H * D) for x in (q, k, v))
     o = _small(qf, kf, vf, mask, slopes, H, causal, alibi, scale)
     return o.reshape(B, S, H, D)
+
+
+def tp_small_attention_qkv(
+    qkv: jax.Array,  # [B, S, 3, H, D] — H sharded over `head_axis`
+    n_heads: int,
+    mesh,
+    *,
+    attention_mask: Optional[jax.Array] = None,
+    alibi: bool = False,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    head_axis: str = "tp",
+    batch_axes=("dp", "fsdp"),
+) -> jax.Array:
+    """Small-S attention under tensor parallelism: shard_map over the head
+    axis so each shard runs the fused kernel on its own heads (the packed
+    lane layout is head-major, so a head shard is a contiguous lane block).
+    Global ALiBi slopes are computed once and sharded alongside the heads —
+    without this wrapper GSPMD replicates the custom call and all-gathers
+    the head dimension (the tp>1 caveat in `ops/attention.py`)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P_
+
+    B, S, three, H, D = qkv.shape
+    tp = mesh.shape[head_axis]
+    assert H % tp == 0 and H == n_heads
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    slopes = alibi_slopes(H) if alibi else jnp.zeros((H,), jnp.float32)
+    qkv_spec = P_(tuple(batch_axes), None, None, head_axis, None)
+    out_spec = P_(tuple(batch_axes), None, head_axis)
+    args = [qkv, slopes]
+    in_specs = [qkv_spec, P_(head_axis)]
+    if attention_mask is not None:
+        args.append(attention_mask.astype(jnp.int32))
+        in_specs.append(P_(tuple(batch_axes), None))
+
+    def local(qkv_s, sl, *rest):
+        ms = rest[0] if rest else None
+        H_loc = qkv_s.shape[3]
+        return fused_small_attention_qkv(
+            qkv_s, H_loc, attention_mask=ms, alibi=alibi, causal=causal,
+            softmax_scale=scale, slopes=sl)
+
+    fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=out_spec, check_vma=False)
+    # local outputs are [B_loc, S, H_loc·D] → global [B, S, H·D]
+    return fn(*args)
+
+
+def tp_small_attention(
+    q: jax.Array,  # [B, S, H, D] — H sharded over `head_axis`
+    k: jax.Array,
+    v: jax.Array,
+    mesh,
+    *,
+    attention_mask: Optional[jax.Array] = None,
+    alibi: bool = False,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    head_axis: str = "tp",
+    batch_axes=("dp", "fsdp"),
+) -> jax.Array:
+    """Separate-q/k/v variant of `tp_small_attention_qkv` (ESM family)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P_
+
+    B, S, H, D = q.shape
+    tp = mesh.shape[head_axis]
+    assert H % tp == 0
+    scale = softmax_scale if softmax_scale is not None else D ** -0.5
+    slopes = alibi_slopes(H) if alibi else jnp.zeros((H,), jnp.float32)
+    x_spec = P_(tuple(batch_axes), None, head_axis, None)
+    args = [q, k, v, slopes]
+    in_specs = [x_spec, x_spec, x_spec, P_(head_axis)]
+    if attention_mask is not None:
+        args.append(attention_mask.astype(jnp.int32))
+        in_specs.append(P_(tuple(batch_axes), None))
+
+    def local(qs, ks, vs, sl, *rest):
+        ms = rest[0] if rest else None
+        return fused_small_attention(
+            qs, ks, vs, attention_mask=ms, alibi=alibi, causal=causal,
+            softmax_scale=scale, slopes=sl)
+
+    fn = shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=x_spec, check_vma=False)
+    return fn(*args)
