@@ -326,4 +326,13 @@ def convert(family: str, state_dict: Dict[str, np.ndarray],
     except KeyError:
         raise KeyError(f"unknown family {family!r}; "
                        f"available: {sorted(CONVERTERS)}") from None
+    if getattr(cfg, "gelu_approx", False):
+        import warnings
+
+        warnings.warn(
+            f"convert({family!r}): cfg.gelu_approx=True but the torch source "
+            "model was trained with exact-erf GELU — converted weights will "
+            "drift ~3e-4/layer at inference. Set gelu_approx=False for "
+            "bitwise eval parity (the tanh default is fine for finetuning).",
+            stacklevel=2)
     return fn(state_dict, cfg, **kw)

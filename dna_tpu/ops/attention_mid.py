@@ -190,16 +190,33 @@ def _plan(S: int, H: int, D: int):
     T = max(1, 128 // D)
     env = os.environ.get("DNA_TPU_MID_ATTN_QT")
     budget = VMEM_LIMIT * 4 // 5
+    if env:
+        qt = int(env)
+        if S % qt:
+            raise ValueError(
+                f"DNA_TPU_MID_ATTN_QT={qt} does not divide S={S}; unset the "
+                "override or pick a divisor")
+        kv_in = 2 * S * HD * 2
+        dkv_out = 2 * S * HD * 4
+        tiles = 4 * 2 * qt * HD * 2
+        scores = 4 * T * qt * S * 4
+        need = kv_in + dkv_out + tiles + scores
+        if need > budget:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "DNA_TPU_MID_ATTN_QT=%d bypasses the VMEM budget check "
+                "(~%d MB needed vs %d MB budget) — Mosaic may fail to "
+                "allocate", qt, need >> 20, budget >> 20)
+        return qt
     for qt in (512, 256, 128):
-        if env:
-            qt = int(env)
         if S % qt:
             continue
         kv_in = 2 * S * HD * 2
         dkv_out = 2 * S * HD * 4
         tiles = 4 * 2 * qt * HD * 2
         scores = 4 * T * qt * S * 4
-        if kv_in + dkv_out + tiles + scores <= budget or env:
+        if kv_in + dkv_out + tiles + scores <= budget:
             return qt
     return None
 

@@ -111,3 +111,48 @@ def make_global_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax
         else:
             out[k] = jax.device_put(v, sharding)
     return out
+
+
+def local_rows(arr: jax.Array) -> np.ndarray:
+    """This process's contiguous slab of a batch-sharded global array, in
+    global row order — rows [h*B/H, (h+1)*B/H), matching the ShardedLoader
+    host slice that fed them (`data/loader.py:78`).
+
+    Works for any output sharding: fully-addressable arrays (single host, or
+    replicated outputs) are sliced directly; multi-host batch/seq-sharded
+    outputs are assembled from the addressable shards that intersect this
+    host's row range (replicated shards overwrite with identical data).
+    Inverse of `make_global_batch` on the batch axis, so
+    `all_hosts_concat(local_rows(x)) == device_get(x)` at any world size."""
+    H = jax.process_count()
+    lb = arr.shape[0] // H
+    h0 = jax.process_index() * lb
+    if getattr(arr, "is_fully_addressable", True):
+        out = np.asarray(jax.device_get(arr))
+        return out[h0:h0 + lb]
+    buf = np.zeros((lb,) + arr.shape[1:], dtype=arr.dtype)
+    for s in arr.addressable_shards:
+        idx = s.index
+        r = idx[0] if idx else slice(0, arr.shape[0])
+        start = r.start or 0
+        stop = arr.shape[0] if r.stop is None else r.stop
+        a, b = max(start, h0), min(stop, h0 + lb)
+        if a >= b:
+            continue
+        data = np.asarray(jax.device_get(s.data))
+        buf[(slice(a - h0, b - h0),) + tuple(idx[1:])] = data[a - start:b - start]
+    return buf
+
+
+def all_hosts_concat(arr: np.ndarray) -> np.ndarray:
+    """Row-concatenate equal-shape per-host arrays across all processes
+    (ordered by process index). Identity at process_count == 1. The
+    psum-analog for host-side eval state — replaces the reference's
+    torchmetrics `dist_reduce_fx="sum"`/cat (`src/tasks/torchmetrics.py:
+    92-98`) for metrics that need full logits (MCC/F1/AUROC)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    out = np.asarray(multihost_utils.process_allgather(np.asarray(arr)))
+    return out.reshape((-1,) + tuple(arr.shape[1:]))

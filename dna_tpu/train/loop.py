@@ -226,18 +226,25 @@ class TrainLoop:
             if self.eval_step_raw is not None:
                 for k, v in self.eval_step_raw(self.state, batch).items():
                     sums[f"raw/{k}"] = sums.get(f"raw/{k}", 0.0) + float(v)
-            if self.host_metrics and jax.process_count() == 1:
-                # host metrics gather full logits; multi-host would need a
-                # process allgather — single-host only for now
+            if self.host_metrics:
+                # each host keeps only its own slab of the global logits;
+                # one process-allgather after the loop makes MCC/F1/AUROC
+                # world-size-independent (reference: torchmetrics
+                # dist_reduce_fx, `src/tasks/torchmetrics.py:92-98`)
+                from dna_tpu.parallel.multihost import local_rows
+
                 logits = self.predict_step(self.state, batch)
-                all_logits.append(np.asarray(jax.device_get(logits),
-                                             np.float32))
+                all_logits.append(local_rows(logits).astype(np.float32))
                 all_labels.append(np.asarray(host_batch["labels"]))
             count += 1
         out = {f"val/{k}": v / max(count, 1) for k, v in sums.items()}
         if self.host_metrics and all_logits:
-            logits = np.concatenate(all_logits)
-            labels = np.concatenate(all_labels)
+            from dna_tpu.parallel.multihost import all_hosts_concat
+
+            # metric fns are order-invariant, so host-major concat order
+            # (host 0's batches, then host 1's, ...) is fine
+            logits = all_hosts_concat(np.concatenate(all_logits))
+            labels = all_hosts_concat(np.concatenate(all_labels))
             if logits.ndim == 3 and labels.ndim == 2:
                 # token-level task: score only supervised positions
                 # (ignore_index=-100 elsewhere), flattened

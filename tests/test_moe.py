@@ -26,6 +26,7 @@ def test_moe_matches_naive_dense_combine():
     D, F, E, K = 16, 32, 4, 2
     m = MoEMlp(d_ff=F, d_model=D, n_experts=E, top_k=K,
                capacity_factor=float(E),  # C = N·K: nothing can drop
+               approximate=False,  # oracle below uses the exact-erf form
                dtype=jnp.float32)
     x = jax.random.normal(jax.random.key(1), (2, 8, D), jnp.float32)
     variables = _params(m, x)

@@ -203,3 +203,96 @@ def test_resharded_restore_mesh_a_to_mesh_b(tmp_path):
     # and the restored state trains on the new mesh
     restored, metrics = step_b(restored, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# multi-host host-metric reduction (VERDICT r3 #4): local_rows +
+# all_hosts_concat must reproduce the single-host metric at any world size.
+# Simulated with a fake 2-process slot layout (no real pod in this env).
+# ---------------------------------------------------------------------------
+
+
+def test_local_rows_slices_this_hosts_slab(monkeypatch):
+    from dna_tpu.parallel import multihost
+
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    arr = jax.device_put(x)  # fully addressable
+    # single host: identity
+    np.testing.assert_array_equal(multihost.local_rows(arr), x)
+    # fake host 1 of 2: rows [4, 8)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    np.testing.assert_array_equal(multihost.local_rows(arr), x[4:8])
+
+
+class _FakeShard:
+    def __init__(self, index, data):
+        self.index = index
+        self.data = data
+
+
+class _FakeGlobalArray:
+    """Mimics a non-fully-addressable jax.Array: only this host's shards are
+    visible, split along both batch and sequence axes."""
+
+    is_fully_addressable = False
+
+    def __init__(self, full, host_rows, seq_splits):
+        self.shape = full.shape
+        self.dtype = full.dtype
+        self.addressable_shards = []
+        r0, r1 = host_rows
+        S = full.shape[1]
+        step = S // seq_splits
+        for j in range(seq_splits):
+            idx = (slice(r0, r1), slice(j * step, (j + 1) * step))
+            self.addressable_shards.append(
+                _FakeShard(idx, full[idx]))
+
+
+def test_local_rows_assembles_from_shards(monkeypatch):
+    from dna_tpu.parallel import multihost
+
+    full = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    arr = _FakeGlobalArray(full, host_rows=(4, 8), seq_splits=3)
+    np.testing.assert_array_equal(multihost.local_rows(arr), full[4:8])
+
+
+def test_all_hosts_concat_matches_single_host_metric(monkeypatch):
+    """MCC computed from gathered per-host slabs == MCC from the full set."""
+    from dna_tpu.parallel import multihost
+    from dna_tpu.train import metrics_host
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(32, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, size=(32,))
+    want = metrics_host.compute_metric("mcc", labels, logits)
+
+    # fake 2-process world: process_allgather stacks per-host slabs
+    slabs_logits = [logits[:16], logits[16:]]
+    slabs_labels = [labels[:16], labels[16:]]
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    class _FakeMHU:
+        @staticmethod
+        def process_allgather(local):
+            if local.shape == slabs_logits[0].shape and local.dtype == np.float32:
+                return np.stack(slabs_logits)
+            return np.stack(slabs_labels)
+
+    import importlib
+
+    jax_experimental = importlib.import_module("jax.experimental")
+    monkeypatch.setattr(jax_experimental, "multihost_utils", _FakeMHU,
+                        raising=False)
+    import sys
+
+    monkeypatch.setitem(sys.modules, "jax.experimental.multihost_utils",
+                        _FakeMHU)
+    got_logits = multihost.all_hosts_concat(slabs_logits[0])
+    got_labels = multihost.all_hosts_concat(slabs_labels[0])
+    np.testing.assert_array_equal(got_logits, logits)
+    np.testing.assert_array_equal(got_labels, labels)
+    assert metrics_host.compute_metric("mcc", got_labels, got_logits) == want
