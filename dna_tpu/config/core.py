@@ -175,6 +175,10 @@ class ModelConfig:
     d_ff: int = 3072
     max_len: int = 512
     dropout: float = 0.0
+    # attention-probability dropout (reference: `bert_layers.py:166-197`,
+    # ESM `modeling_esm.py:391-467` — both fall back to a materialized-probs
+    # path when p>0; dna_tpu mirrors that by routing to attention_ref)
+    attn_dropout: float = 0.0
     dtype: str = "bfloat16"  # compute dtype; params always f32
     # Mixture-of-Experts MLP for the LM-backbone families (EXCEEDS the
     # reference — it has no MoE). moe_experts=0 disables; moe_every=n puts a

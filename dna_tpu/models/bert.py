@@ -47,9 +47,13 @@ class BertSelfAttention(nn.Module):
                     name="wqkv")(x)
         qkv = qkv.reshape(x.shape[0], x.shape[1], 3, cfg.n_heads, head_dim)
         impl = "auto" if cfg.use_flash else "ref"
+        drop = {}
+        if cfg.attn_dropout > 0.0 and not deterministic:
+            drop = dict(dropout_rate=cfg.attn_dropout,
+                        dropout_rng=self.make_rng("dropout"))
         out = multihead_attention_qkv(
             qkv, attention_mask=attention_mask, alibi=cfg.alibi,
-            causal=False, impl=impl)
+            causal=False, impl=impl, **drop)
         out = nn.with_logical_constraint(out, ("batch", "seq", "act_embed"))
         return dense(cfg.d_model, ("heads", "embed"), dtype=dtype, name="out")(out)
 

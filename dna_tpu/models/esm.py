@@ -172,7 +172,14 @@ class EsmSelfAttention(nn.Module):
                 scores = scores + padding_bias(attention_mask)
             scores = scores + CoPE(cfg.max_len, D, name="cope")(qt, scores)
             probs = jax.nn.softmax(scores, axis=-1)
-            out = jnp.einsum("bhst,bhtd->bshd", probs.astype(dtype), vt)
+            combine = probs
+            if cfg.attn_dropout > 0.0 and not deterministic:
+                keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                            1.0 - cfg.attn_dropout,
+                                            probs.shape)
+                combine = jnp.where(keep, probs / (1.0 - cfg.attn_dropout),
+                                    0.0)
+            out = jnp.einsum("bhst,bhtd->bshd", combine.astype(dtype), vt)
             out = out.reshape(x.shape[0], x.shape[1], cfg.d_model)
             out = dense(cfg.d_model, ("heads", "embed"), dtype=dtype,
                         name="out")(out)
@@ -188,9 +195,14 @@ class EsmSelfAttention(nn.Module):
                     if attention_mask is not None else None)
             out, probs = attention_ref(q, k, v, bias, return_probs=True)
         else:
+            drop = {}
+            if cfg.attn_dropout > 0.0 and not deterministic:
+                drop = dict(dropout_rate=cfg.attn_dropout,
+                            dropout_rng=self.make_rng("dropout"))
             out = multihead_attention(
                 q, k, v, attention_mask=attention_mask, alibi=False,
-                causal=False, impl="auto" if cfg.use_flash else "ref")
+                causal=False, impl="auto" if cfg.use_flash else "ref",
+                **drop)
         out = out.reshape(x.shape[0], x.shape[1], cfg.d_model)
         out = dense(cfg.d_model, ("heads", "embed"), dtype=dtype,
                     name="out")(out)

@@ -48,10 +48,19 @@ def multihead_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     impl: str = "auto",  # auto | flash | ref
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     B, S, H, D = q.shape
     sp_mesh = _ambient_sp_mesh()
     tp_mesh = _ambient_tp_mesh()
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # attention-prob dropout runs on the materialized-probs path — the
+        # same fallback shape as the reference, whose Triton kernel also
+        # can't do p>0 (`bert_layers.py:166-197`). checkpointed like the
+        # p=0 ref path; the bernoulli bits regenerate identically in the
+        # rematerialized bwd (same key).
+        impl = "ref"
     if impl == "auto":
         # Flash pays off once the S×S score materialization dominates; at
         # short S (DNABERT-2's 128-token batches) the fused all-heads kernel
@@ -156,7 +165,9 @@ def multihead_attention(
     @jax.checkpoint
     def _attn(q, k, v, bias):
         return attention_ref(q, k, v, bias, causal=causal,
-                             softmax_scale=softmax_scale)
+                             softmax_scale=softmax_scale,
+                             dropout_rate=dropout_rate,
+                             dropout_rng=dropout_rng)
 
     return _attn(q, k, v, bias)
 
@@ -169,6 +180,8 @@ def multihead_attention_qkv(
     causal: bool = False,
     softmax_scale=None,
     impl: str = "auto",
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jax.Array:
     """Attention on the packed QKV projection output; returns [B, S, H·D].
 
@@ -183,6 +196,8 @@ def multihead_attention_qkv(
     B, S, three, H, D = qkv.shape
     sp_mesh = _ambient_sp_mesh()
     tp_mesh = _ambient_tp_mesh()
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        impl = "ref"  # p>0 runs the materialized-probs path (see above)
     if (impl == "auto" and sp_mesh is None and tp_mesh is None
             and attention_small.supports_qkv(S, H, D)
             and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
@@ -201,5 +216,6 @@ def multihead_attention_qkv(
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     out = multihead_attention(
         q, k, v, attention_mask=attention_mask, alibi=alibi, causal=causal,
-        softmax_scale=softmax_scale, impl=impl)
+        softmax_scale=softmax_scale, impl=impl, dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng)
     return out.reshape(B, S, H * D)

@@ -26,6 +26,8 @@ def attention_ref(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     return_probs: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     orig_dtype = q.dtype
     d = q.shape[-1]
@@ -40,6 +42,14 @@ def attention_ref(
         causal_mask = jnp.tril(jnp.ones((s, t), dtype=bool))
         scores = jnp.where(causal_mask, scores, jnp.float32(-1e10))
     probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # attention-probability dropout, torch nn.Dropout semantics
+        # (drop with p, scale survivors by 1/(1-p)) applied to the post-
+        # softmax probs — reference `bert_layers.py:166-197` /
+        # `modeling_esm.py:415`. Rows may no longer sum to 1 by design.
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhst,bthd->bshd", probs.astype(orig_dtype), v,
                      preferred_element_type=jnp.float32)
     out = out.astype(orig_dtype)
