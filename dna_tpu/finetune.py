@@ -62,6 +62,7 @@ def seed_sweep(cfg: ExperimentConfig, *, seeds: Sequence[int] = (2222, 42, 43),
                monitor: str = "val/mcc", monitor_mode: str = "max",
                host_metrics: Sequence[str] = ("mcc", "f1"),
                eval_dataset=None, train_dataset=None, mesh=None,
+               pretrained_params=None,
                verbose: bool = False, output_dir=None) -> Dict[str, Any]:
     """Reference seed-sweep protocol: per-seed best-val metric, then
     mean/min/max across seeds (`py_cal_mean.py:16-46`).
@@ -79,6 +80,7 @@ def seed_sweep(cfg: ExperimentConfig, *, seeds: Sequence[int] = (2222, 42, 43),
         out = finetune(run_cfg, eval_dataset=eval_dataset,
                        train_dataset=train_dataset, monitor=monitor,
                        monitor_mode=monitor_mode, host_metrics=host_metrics,
+                       pretrained_params=pretrained_params,
                        mesh=mesh, verbose=verbose)
         if out["best"] is not None:
             per_seed.append(float(out["best"]))

@@ -29,31 +29,76 @@ from dna_tpu.ops.attention import multihead_attention
 
 class MHAMixer(nn.Module):
     """Self-attention mixer for `attn_layer_idx` layers (reference flash-attn
-    `MHA` with rotary off, `long_conv_lm.py:94-128`)."""
+    `MHA` with rotary off, `long_conv_lm.py:94-128`).
+
+    Also supports KV-cached stepping for O(L)-per-token generation
+    (VERDICT r3 #8): `__call__(return_state=True)` seeds a static
+    [B, l_max, H, D] K/V buffer (the prefill), `step` appends one token's
+    K/V and attends the new q over the cache — no full-sequence refeed. The
+    buffer is a ring: writes wrap at l_max, and since this mixer has no
+    positional encoding inside attention (no rotary/ALiBi), key order is
+    immaterial — wraparound degrades exactly to sliding-window attention."""
 
     cfg: ModelConfig
     causal: bool = True
+    l_max: int = 1024
 
-    @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def setup(self):
         from dna_tpu.models.layers import default_kernel_init, kaiming_init
 
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
-        head_dim = cfg.d_model // cfg.n_heads
         # GPT-2 scheme (`long_conv_lm.py:292-299`): Wqkv and out_proj get
         # kaiming_normal when gpt2_init is on
         init = kaiming_init if cfg.gpt2_init else default_kernel_init
-        qkv = dense(3 * cfg.d_model, ("embed", "heads"), dtype=dtype,
-                    name="wqkv", kernel_init=init)(x)
-        qkv = qkv.reshape(x.shape[0], x.shape[1], 3, cfg.n_heads, head_dim)
+        self.wqkv = dense(3 * cfg.d_model, ("embed", "heads"), dtype=dtype,
+                          kernel_init=init, name="wqkv")
+        self.out_proj = dense(cfg.d_model, ("heads", "embed"), dtype=dtype,
+                              kernel_init=init, name="out_proj")
+
+    def __call__(self, x: jax.Array, *, deterministic: bool = True,
+                 return_state: bool = False):
+        cfg = self.cfg
+        head_dim = cfg.d_model // cfg.n_heads
+        B, S = x.shape[0], x.shape[1]
+        qkv = self.wqkv(x).reshape(B, S, 3, cfg.n_heads, head_dim)
         from dna_tpu.ops.attention import multihead_attention_qkv
 
         out = multihead_attention_qkv(
             qkv, causal=self.causal, alibi=False,
             impl="auto" if cfg.use_flash else "ref")
-        return dense(cfg.d_model, ("heads", "embed"), dtype=dtype,
-                     name="out_proj", kernel_init=init)(out)
+        y = self.out_proj(out)
+        if not return_state:
+            return y
+        if not self.causal:
+            raise NotImplementedError("KV-cache stepping is causal-only")
+        L = max(self.l_max, S)
+        k, v = qkv[:, :, 1], qkv[:, :, 2]  # [B, S, H, D]
+        kc = jnp.zeros((B, L, cfg.n_heads, head_dim), k.dtype).at[:, :S].set(k)
+        vc = jnp.zeros_like(kc).at[:, :S].set(v)
+        return y, (kc, vc, jnp.int32(S))
+
+    def step(self, x_t: jax.Array, state):
+        """x_t [B, D] → ([B, D], new state). One cached-attention token."""
+        kc, vc, pos = state
+        cfg = self.cfg
+        H = cfg.n_heads
+        Dh = cfg.d_model // H
+        B, L = kc.shape[0], kc.shape[1]
+        qkv = self.wqkv(x_t[:, None]).reshape(B, 1, 3, H, Dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        slot = jnp.mod(pos, L)
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, slot, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, slot, axis=1)
+        scores = jnp.einsum("bshd,bthd->bhst", q, kc,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (Dh ** -0.5)
+        valid = jnp.arange(L)[None, None, None, :] <= jnp.minimum(pos, L - 1)
+        scores = jnp.where(valid, scores, jnp.float32(-1e10))
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhst,bthd->bshd", probs.astype(q.dtype), vc)
+        y = self.out_proj(out.reshape(B, 1, H * Dh))[:, 0]
+        return y, (kc, vc, pos + 1)
 
 
 class LMBlock(nn.Module):
@@ -95,7 +140,7 @@ class LMBlock(nn.Module):
         if cfg.dropout > 0.0:
             self.drop = nn.Dropout(cfg.dropout)
         if self.layer_idx in self.attn_layer_idx:
-            self.mixer = MHAMixer(cfg, causal=self.causal)
+            self.mixer = MHAMixer(cfg, causal=self.causal, l_max=self.l_max)
             self._mixer_kind = "attn"
         else:
             # mixer comes from the layer registry — the reference's
@@ -110,7 +155,10 @@ class LMBlock(nn.Module):
     def _mix(self, h, deterministic, return_state):
         if self._mixer_kind == "mamba":
             return self.mixer(h, return_state=return_state)
-        if self._mixer_kind in ("attn", "hyena"):
+        if self._mixer_kind == "attn":
+            return self.mixer(h, deterministic=deterministic,
+                              return_state=return_state)
+        if self._mixer_kind == "hyena":
             out = self.mixer(h, deterministic=deterministic)
         else:
             out = self.mixer(h)
@@ -137,8 +185,9 @@ class LMBlock(nn.Module):
         return out
 
     def step(self, x_t: jax.Array, state):
-        """One-token recurrence (mamba mixer only). x_t [B, D]."""
-        if self._mixer_kind != "mamba":
+        """One-token recurrence (mamba: O(1) state; attn: KV cache).
+        x_t [B, D]."""
+        if self._mixer_kind not in ("mamba", "attn"):
             raise NotImplementedError(
                 f"recurrent step unsupported for mixer {self._mixer_kind!r} "
                 "(the reference's Hyena recurrence also raises, "
