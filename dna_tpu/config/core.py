@@ -294,6 +294,9 @@ class TrainConfig:
     # wandb sink behind the JSONL logger (reference CustomWandbLogger,
     # `train.py:52-132`); no-op when wandb isn't installed.
     wandb_project: Optional[str] = None
+    # upload code snapshot at start + best checkpoints as wandb artifacts
+    # (the upload half of `src/callbacks/wandb.py`); needs wandb_project
+    wandb_upload: bool = False
 
 
 @dataclass(frozen=True)

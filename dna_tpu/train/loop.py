@@ -68,6 +68,24 @@ class MetricsLogger:
             except Exception:
                 pass
 
+    def log_artifact(self, path: str, name: str, type_: str = "model"):
+        """Upload a file/directory as a wandb artifact (the upload half of
+        the reference's wandb callbacks, `src/callbacks/wandb.py` — model
+        checkpoints + code snapshot). No-op without an active mirror."""
+        if self._wandb is None:
+            return
+        try:
+            import wandb  # type: ignore
+
+            art = wandb.Artifact(name=name, type=type_)
+            if os.path.isdir(path):
+                art.add_dir(path)
+            else:
+                art.add_file(path)
+            self._wandb.log_artifact(art)
+        except Exception:
+            pass
+
     def close(self):
         if self.path:
             self._f.close()
@@ -187,6 +205,11 @@ class TrainLoop:
         if exp.cfg.train.checkpoint_dir:
             self.ckpt = CheckpointManager(exp.cfg.train.checkpoint_dir)
         self.n_params = param_count(self.state.params)
+        if exp.cfg.train.wandb_upload:
+            # code-snapshot artifact at run start (reference
+            # `src/callbacks/wandb.py` code upload)
+            pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            self.logger.log_artifact(pkg, f"{exp.cfg.name}-code", "code")
 
     # ------------------------------------------------------------------
 
@@ -363,6 +386,10 @@ class TrainLoop:
                         if self.ckpt:
                             self.ckpt.save(step_i + 1, self.state,
                                            loader.state, {"best": best})
+                            if cfg.train.wandb_upload:
+                                self.logger.log_artifact(
+                                    cfg.train.checkpoint_dir,
+                                    f"{cfg.name}-best", "model")
 
             if (self.ckpt and cfg.train.checkpoint_every and
                     (step_i + 1) % cfg.train.checkpoint_every == 0):

@@ -23,9 +23,11 @@ def timed(f, *args, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
-print("backend:", jax.default_backend(), jax.devices())
+print("backend:", jax.default_backend(), jax.devices(), flush=True)
 H, D = 12, 64
-for S, B in [(1024, 16), (2048, 8), (4096, 4)]:
+CASES = {1024: 16, 2048: 8, 4096: 4}
+ss = [int(s) for s in os.environ.get("BENCH_MID_S", "1024,2048,4096").split(",")]
+for S, B in [(s, CASES[s]) for s in ss]:
     assert supports(S, H, D), (S, H, D)
     ks = jax.random.split(jax.random.key(0), 3)
     q, k, v = (jax.random.normal(kk, (B, S, H, D), jnp.bfloat16) for kk in ks)

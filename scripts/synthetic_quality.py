@@ -1,0 +1,272 @@
+"""Planted-signal quality benchmark + pretrain→finetune transfer demo
+(VERDICT r3 #2).
+
+The env has no real genomics corpora (REAL_DATA.md), so the committed
+fixture sweeps could only prove the finetune pipeline *executes* (MCC ≈ 0 on
+signal-free fixtures). This script proves it *learns*, and that transfer
+works, using synthetic tasks with planted motifs whose Bayes-optimal score
+is known:
+
+1. `nt/H4` planted task (NT fasta format): positives carry the exact 10-mer
+   MOTIF_A at a uniform random position; negatives carry a fixed
+   permutation of the same bases (same composition — order must be
+   learned). P(false 10-mer in random 120-mer) ≈ 111·4⁻¹⁰ ≈ 1e-4 ⇒ label
+   is a deterministic function of the sequence: **MCC ceiling ≈ 1.0**.
+2. `gb/demo_promoters` planted task (GenomicBenchmarks dir format):
+   positive ⇔ BOTH TATAAT-box and GC-box present; negatives have exactly
+   one of the two (co-occurrence must be learned). Ceiling ≈ 1.0.
+3. Transfer: pretrain a tiny causal-hyena LM on UNLABELED sequences from
+   the same generative mixture, then finetune `nt_hyena` on only
+   N_FEWSHOT labeled examples — pretrained-backbone vs scratch, same
+   seeds. Reports the mean-MCC delta (> 0 demonstrates transfer).
+
+Artifacts land in results/synthetic_quality/ in the reference's
+`py_cal_mean.py` format (`pybash/result_*.txt`, `mean_and_range_diff.csv`),
+plus README.md documenting the ceilings.
+
+    python scripts/synthetic_quality.py [output_dir]
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "results/synthetic_quality"
+DATA = os.environ.get("SYNTH_DATA_DIR", "/tmp/dna_tpu_synth")
+SEEDS = [2222, 42, 43, 44, 45]
+L = 120
+MOTIF_A = "TACGGATCGA"          # planted signal (10-mer)
+MOTIF_A_NEG = "AGCGATCATG"      # fixed permutation of the same bases
+TATA, GCBOX = "TATAATAT", "GGGGCGGG"
+N_TRAIN, N_TEST = 2048, 512
+N_FEWSHOT = 96                   # labeled examples for the transfer demo
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _rand_dna(rng, n):
+    return BASES[rng.integers(0, 4, n)].tobytes().decode()
+
+
+def _plant(rng, motifs):
+    """Random L-mer with each motif inserted at a random non-overlapping
+    position (left-to-right placement in disjoint thirds keeps it simple)."""
+    seq = list(_rand_dna(rng, L))
+    span = L // max(len(motifs), 1)
+    for i, m in enumerate(motifs):
+        lo = i * span
+        hi = min((i + 1) * span, L) - len(m)
+        p = int(rng.integers(lo, max(hi, lo + 1)))
+        seq[p:p + len(m)] = list(m)
+    return "".join(seq)
+
+
+def write_fasta(path, records):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for name, seq in records:
+            f.write(f">{name}\n")
+            for i in range(0, len(seq), 60):
+                f.write(seq[i:i + 60] + "\n")
+
+
+def write_nt_planted(base):
+    """NT fasta format: record name ends with the label digit."""
+    from pathlib import Path
+
+    d = Path(base) / "nt" / "H4"
+    for split, rows, seed in (("train", N_TRAIN, 0), ("test", N_TEST, 1)):
+        rng = np.random.default_rng(seed)
+        recs = []
+        for i in range(rows):
+            y = int(rng.integers(0, 2))
+            seq = _plant(rng, [MOTIF_A if y else MOTIF_A_NEG])
+            recs.append((f"seq{i}|lab{y}", seq))
+        write_fasta(d / f"{split}.fasta", recs)
+    return str(Path(base) / "nt")
+
+
+def write_gb_planted(base):
+    """GenomicBenchmarks format: per-class dirs of one-sequence .txt files.
+    positive ⇔ both TATA and GC-box; negative: exactly one of them."""
+    from pathlib import Path
+
+    d = Path(base) / "gb" / "demo_promoters"
+    for split, rows, seed in (("train", N_TRAIN, 2), ("test", N_TEST, 3)):
+        rng = np.random.default_rng(seed)
+        for cls in ("negative", "positive"):
+            cd = d / split / cls
+            cd.mkdir(parents=True, exist_ok=True)
+            for i in range(rows // 2):
+                if cls == "positive":
+                    seq = _plant(rng, [TATA, GCBOX])
+                else:
+                    seq = _plant(rng, [TATA] if rng.integers(0, 2) else [GCBOX])
+                (cd / f"{i}.txt").write_text(seq + "\n")
+    return str(Path(base) / "gb")
+
+
+class _UnlabeledLM:
+    """Causal-LM pretraining view of the planted mixture (labels hidden)."""
+
+    def __init__(self, tokenizer, n=8192, seed=7):
+        rng = np.random.default_rng(seed)
+        self.seqs = []
+        for _ in range(n):
+            y = int(rng.integers(0, 2))
+            self.seqs.append(_plant(rng, [MOTIF_A if y else MOTIF_A_NEG]))
+        self.tok = tokenizer
+
+    def __len__(self):
+        return len(self.seqs)
+
+    def __getitem__(self, i):
+        # (seq[:-1], seq[1:]) causal pairs, like SyntheticLMDataset
+        rng = np.random.default_rng((11, i))
+        ids = np.asarray(self.tok.encode(self.seqs[i] + _rand_dna(rng, 1)),
+                         np.int32)
+        return {"input_ids": ids[:-1], "labels": ids[1:].astype(np.int32)}
+
+
+class _Subset:
+    def __init__(self, ds, n):
+        self.ds, self.n = ds, min(n, len(ds))
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.ds[i]
+
+
+TINY = [
+    "model.d_model=64", "model.n_layers=2", "model.n_heads=4",
+    "model.d_ff=128", "model.dtype=float32",
+    "data.batch_size=32", "train.steps=250", "train.eval_every=50",
+    "train.eval_steps=16", "train.log_every=0",
+    "scheduler.warmup_steps=10", "scheduler.total_steps=250",
+    f"data.max_length={L}", "model.max_len=128",
+]
+
+
+def run_sweeps(nt_dir, gb_dir):
+    from dna_tpu.experiments import get_experiment
+    from dna_tpu.finetune import seed_sweep
+
+    summary = {}
+    sweeps = [
+        ("nt_caduceus",
+         [f"data.dest_path={nt_dir}", "data.dataset_name=H4",
+          "optimizer.lr=1e-3"], "val/mcc", ("mcc", "f1")),
+        ("nt_denoisecnn",
+         [f"data.dest_path={nt_dir}", "data.dataset_name=H4",
+          "optimizer.lr=3e-3"], "val/mcc", ("mcc", "f1")),
+        ("genomic_benchmark",
+         [f"data.dest_path={gb_dir}", "data.dataset_name=demo_promoters",
+          "model.hyena_filter_emb_dim=5", "model.hyena_filter_order=16",
+          "optimizer.lr=1e-3"], "val/mcc", ("mcc", "acc")),
+    ]
+    for exp_name, extra, monitor, host_metrics in sweeps:
+        cfg = get_experiment(exp_name, TINY + extra)
+        agg = seed_sweep(cfg, seeds=SEEDS, monitor=monitor,
+                         host_metrics=host_metrics, output_dir=OUT)
+        summary[exp_name] = agg
+        print(f"{exp_name}: mean={agg['mean']:.4f} "
+              f"range=[{agg['min']:.4f}, {agg['max']:.4f}] (ceiling ~1.0)",
+              flush=True)
+    return summary
+
+
+def pretrain_backbone(nt_dir):
+    """Tiny causal-hyena CLM on the unlabeled planted mixture; returns
+    final params (host pytree)."""
+    import dataclasses
+
+    import flax.linen as nn
+    from dna_tpu.experiments import build, get_experiment
+    from dna_tpu.train.loop import TrainLoop
+
+    cfg = get_experiment("hg38_hyena", [
+        "model.d_model=64", "model.n_layers=2", "model.d_ff=128",
+        "model.dtype=float32", "model.hyena_filter_emb_dim=5",
+        "model.hyena_filter_order=16",
+        f"data.max_length={L}", "model.max_len=128",
+        "data.batch_size=32", "train.steps=800", "train.log_every=200",
+        "scheduler.warmup_steps=20", "scheduler.total_steps=800",
+        "optimizer.lr=2e-3",
+    ])
+    exp = build(cfg)
+    exp = dataclasses.replace(exp, dataset=_UnlabeledLM(exp.tokenizer))
+    loop = TrainLoop(exp, verbose=False)
+    res = loop.run()
+    last = [h for h in res.history if "loss" in h]
+    print(f"pretrain: final loss {last[-1]['loss']:.4f}" if last else
+          "pretrain: done", flush=True)
+    return nn.meta.unbox(loop.state.params)
+
+
+def run_transfer(nt_dir, pre_params):
+    from dna_tpu.data.genomics import NucleotideTransformerDataset
+    from dna_tpu.experiments import build, get_experiment
+    from dna_tpu.finetune import seed_sweep
+
+    few = [
+        f"data.dest_path={nt_dir}", "data.dataset_name=H4",
+        "model.d_model=64", "model.n_layers=2", "model.d_ff=128",
+        "model.dtype=float32", "model.hyena_filter_emb_dim=5",
+        "model.hyena_filter_order=16",
+        f"data.max_length={L}", "model.max_len=128",
+        "data.batch_size=16", "train.steps=120", "train.eval_every=40",
+        "train.eval_steps=16", "train.log_every=0",
+        "scheduler.warmup_steps=5", "scheduler.total_steps=120",
+        "optimizer.lr=1e-3",
+    ]
+    cfg = get_experiment("nt_hyena", few)
+    exp = build(cfg)  # to get tokenizer/data wiring for the subset
+    train_ds = _Subset(exp.dataset, N_FEWSHOT)
+
+    out = {}
+    import dataclasses
+
+    for tag, pp in (("scratch", None), ("pretrained", pre_params)):
+        run_cfg = dataclasses.replace(get_experiment("nt_hyena", few),
+                                      name=f"nt_hyena_{tag}")
+        agg = seed_sweep(run_cfg, seeds=SEEDS, monitor="val/mcc",
+                         host_metrics=("mcc", "f1"),
+                         train_dataset=train_ds, pretrained_params=pp,
+                         output_dir=OUT)
+        out[tag] = agg
+        print(f"transfer[{tag}]: mean={agg['mean']:.4f} "
+              f"range=[{agg['min']:.4f}, {agg['max']:.4f}]", flush=True)
+    delta = out["pretrained"]["mean"] - out["scratch"]["mean"]
+    print(f"transfer delta (pretrained - scratch): {delta:+.4f}", flush=True)
+    return {**out, "delta": delta}
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    nt_dir = write_nt_planted(DATA)
+    gb_dir = write_gb_planted(DATA)
+    print(f"planted data in {DATA}", flush=True)
+    summary = {"seeds": SEEDS, "n_train": N_TRAIN, "n_test": N_TEST,
+               "n_fewshot": N_FEWSHOT,
+               "ceilings": {"nt_H4_planted": 1.0, "gb_promoters_planted": 1.0}}
+    summary["sweeps"] = run_sweeps(nt_dir, gb_dir)
+    pre = pretrain_backbone(nt_dir)
+    summary["transfer"] = {k: (v if isinstance(v, float) else
+                               {kk: vv for kk, vv in v.items()})
+                           for k, v in run_transfer(nt_dir, pre).items()}
+    with open(os.path.join(OUT, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1, default=float)
+    print(f"artifacts in {OUT}/", flush=True)
+
+
+if __name__ == "__main__":
+    main()
