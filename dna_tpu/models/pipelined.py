@@ -52,16 +52,25 @@ class PipelinedBertForMLM(nn.Module):
 
         def init_stacked(rng):
             keys = jax.random.split(rng, cfg.n_layers)
+            # template init keeps the per-leaf logical names (heads/mlp/...)
+            # so stacked params shard over BOTH pp (layers dim) and tp
+            boxed_tpl = layer.init(keys[0], dummy, None,
+                                   deterministic=True)["params"]
 
             def one(k):
                 return nn.meta.unbox(
                     layer.init(k, dummy, None, deterministic=True)["params"])
 
             stacked = jax.vmap(one)(keys)
+
+            def rebox(a, tpl):
+                inner = (tuple(tpl.names) if isinstance(tpl, nn.Partitioned)
+                         else (None,) * (a.ndim - 1))
+                return nn.Partitioned(a, names=("layers",) + inner)
+
             return jax.tree_util.tree_map(
-                lambda a: nn.Partitioned(
-                    a, names=("layers",) + (None,) * (a.ndim - 1)),
-                stacked)
+                rebox, stacked, boxed_tpl,
+                is_leaf=lambda x: isinstance(x, nn.Partitioned))
 
         stacked_params = nn.meta.unbox(self.param("layers", init_stacked))
 

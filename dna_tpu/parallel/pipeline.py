@@ -90,8 +90,14 @@ def gpipe(
     aux_spec = (None if aux is None else P(*([None] * aux.ndim)))
     in_specs = (param_specs, P(*([None] * x.ndim)), aux_spec)
     out_specs = P(*([None] * x.ndim))
+    # Manual ONLY over the pp axis: every other mesh axis (dp/fsdp/tp/...)
+    # stays compiler-managed ("auto"), so GSPMD keeps batch sharding and
+    # tensor-parallel param sharding alive INSIDE the pipeline region —
+    # tp×pp composes without hand-written Megatron collectives, and dp
+    # batches are not replicated across ranks.
     fn = shard_map(worker, mesh=mesh, in_specs=in_specs,
-                   out_specs=out_specs, check_vma=False)
+                   out_specs=out_specs, check_vma=False,
+                   axis_names=frozenset({axis}))
     return fn(stage_params, x, aux)
 
 

@@ -41,24 +41,29 @@ for S, B in [(s, CASES[s]) for s in ss]:
     def loss_flash(q, k, v):
         return jnp.sum(flash_attention(q, k, v, alibi=True).astype(jnp.float32) ** 2)
 
-    # --- numerics: fwd + grads vs ref ---
-    f_mid = jax.jit(lambda q, k, v: mid_attention(q, k, v, alibi=True))
-    f_ref = jax.jit(lambda q, k, v: attention_ref(q, k, v, alibi_bias(H, S)))
-    o_mid = np.asarray(f_mid(q, k, v), np.float32)
-    o_ref = np.asarray(f_ref(q, k, v), np.float32)
-    err_f = np.max(np.abs(o_mid - o_ref))
-    g_mid = jax.jit(jax.grad(loss_mid, argnums=(0, 1, 2)))(q, k, v)
-    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
-    errs_g = [float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
-              for a, b in zip(g_mid, g_ref)]
-    scale_g = [float(np.max(np.abs(np.asarray(b, np.float32)))) for b in g_ref]
-    print(f"S={S}: fwd max-abs-err {err_f:.4g}; "
-          f"grad errs q/k/v {errs_g} (ref scales {scale_g})")
+    which = os.environ.get("BENCH_MID_WHICH", "numerics,mid,flash").split(",")
+    if "numerics" in which:
+        f_mid = jax.jit(lambda q, k, v: mid_attention(q, k, v, alibi=True))
+        f_ref = jax.jit(lambda q, k, v: attention_ref(q, k, v, alibi_bias(H, S)))
+        o_mid = np.asarray(f_mid(q, k, v), np.float32)
+        o_ref = np.asarray(f_ref(q, k, v), np.float32)
+        err_f = np.max(np.abs(o_mid - o_ref))
+        g_mid = jax.jit(jax.grad(loss_mid, argnums=(0, 1, 2)))(q, k, v)
+        g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+        errs_g = [float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
+                  for a, b in zip(g_mid, g_ref)]
+        scale_g = [float(np.max(np.abs(np.asarray(b, np.float32)))) for b in g_ref]
+        print(f"S={S}: fwd max-abs-err {err_f:.4g}; "
+              f"grad errs q/k/v {errs_g} (ref scales {scale_g})", flush=True)
 
-    # --- timing vs flash ---
-    t_mid_f = timed(f_mid, q, k, v)
-    t_flash_f = timed(jax.jit(lambda q, k, v: flash_attention(q, k, v, alibi=True)), q, k, v)
-    t_mid_b = timed(jax.jit(jax.grad(loss_mid, argnums=(0, 1, 2))), q, k, v)
-    t_flash_b = timed(jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2))), q, k, v)
-    print(f"S={S} B={B}: fwd mid {t_mid_f*1e3:.2f}ms flash {t_flash_f*1e3:.2f}ms | "
-          f"fwd+bwd mid {t_mid_b*1e3:.2f}ms flash {t_flash_b*1e3:.2f}ms", flush=True)
+    if "mid" in which:
+        f_mid = jax.jit(lambda q, k, v: mid_attention(q, k, v, alibi=True))
+        t_mid_f = timed(f_mid, q, k, v)
+        t_mid_b = timed(jax.jit(jax.grad(loss_mid, argnums=(0, 1, 2))), q, k, v)
+        print(f"S={S} B={B}: mid fwd {t_mid_f*1e3:.2f}ms "
+              f"fwd+bwd {t_mid_b*1e3:.2f}ms", flush=True)
+    if "flash" in which:
+        t_flash_f = timed(jax.jit(lambda q, k, v: flash_attention(q, k, v, alibi=True)), q, k, v)
+        t_flash_b = timed(jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2))), q, k, v)
+        print(f"S={S} B={B}: flash fwd {t_flash_f*1e3:.2f}ms "
+              f"fwd+bwd {t_flash_b*1e3:.2f}ms", flush=True)
