@@ -64,6 +64,40 @@ def main():
                 print(json.dumps({"model": name, "seq_len": L,
                                   "error": str(e)[:120]}), flush=True)
 
+    if os.environ.get("SWEEP_GENERATION", "1") != "0":
+        generation_rows()
+
+
+def generation_rows():
+    """KV-cache vs full-refeed generation latency (transformer family,
+    VERDICT r3 #8): ms/token at a fixed prompt, O(L) vs O(L²·depth)."""
+    from dna_tpu.inference import generate, generate_recurrent
+
+    P, N = 512, 32
+    cfg = ModelConfig(name="transformer_lm", vocab_size=16, d_model=256,
+                      n_layers=8, n_heads=8, d_ff=1024, max_len=P + N)
+    m = LMHeadModel(cfg, attn_layer_idx=tuple(range(8)), l_max=P + N,
+                    causal=True)
+    ids = jax.random.randint(jax.random.key(0), (1, P), 7, 11)
+    params = m.init(jax.random.key(1), ids, None, deterministic=True)["params"]
+    for name, fn in (("generate_refeed", generate),
+                     ("generate_kv_cache", generate_recurrent)):
+        try:
+            out = fn(m, params, ids, jax.random.key(2), num_tokens=N,
+                     greedy=True)
+            jax.device_get(out)  # compile
+            t0 = time.perf_counter()
+            out = fn(m, params, ids, jax.random.key(3), num_tokens=N,
+                     greedy=True)
+            jax.device_get(out)
+            ms_tok = (time.perf_counter() - t0) / N * 1e3
+            print(json.dumps({"model": "transformer_lm", "mode": name,
+                              "prompt": P, "new_tokens": N,
+                              "ms_per_token": round(ms_tok, 3)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"mode": name, "error": str(e)[:120]}),
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()
