@@ -336,3 +336,48 @@ def convert(family: str, state_dict: Dict[str, np.ndarray],
             "bitwise eval parity (the tanh default is fine for finetuning).",
             stacklevel=2)
     return fn(state_dict, cfg, **kw)
+
+
+_HUB_FAMILY_PATTERNS = (
+    ("hyenadna", r"hyenadna"),
+    ("caduceus", r"caduceus"),
+    ("dnabert2", r"dnabert-?2"),
+    ("ntv2", r"nucleotide-transformer|ntv2|esm"),
+)
+
+
+def family_for_repo(repo_id: str) -> str:
+    """Infer the converter family from an HF repo id (reference
+    `huggingface.py:84` model-name switch)."""
+    low = repo_id.lower()
+    for fam, pat in _HUB_FAMILY_PATTERNS:
+        if re.search(pat, low):
+            return fam
+    raise ValueError(
+        f"cannot infer converter family from repo id {repo_id!r}; "
+        f"pass family= explicitly (one of {sorted(CONVERTERS)})")
+
+
+def from_hub(repo_id: str, cfg: ModelConfig, *, family: str = None,
+             revision: str = None, cache_dir: str = None, **kw):
+    """Download a torch checkpoint from the HuggingFace hub and convert it
+    (the reference's hub pull, `huggingface.py:47-84` /
+    `caduceus.py:12-28`). Looks for the usual weight filenames; requires
+    network access — in offline environments download the file separately
+    and call `convert(family, load_torch_state_dict(path), cfg)`."""
+    from huggingface_hub import hf_hub_download  # type: ignore
+
+    family = family or family_for_repo(repo_id)
+    last_err = None
+    for fname in ("pytorch_model.bin", "weights.ckpt", "model.ckpt"):
+        try:
+            path = hf_hub_download(repo_id, fname, revision=revision,
+                                   cache_dir=cache_dir)
+            break
+        except Exception as e:  # file missing / offline
+            last_err = e
+    else:
+        raise FileNotFoundError(
+            f"no torch weight file found in {repo_id!r} "
+            f"(tried pytorch_model.bin, weights.ckpt, model.ckpt): {last_err}")
+    return convert(family, load_torch_state_dict(path), cfg, **kw)

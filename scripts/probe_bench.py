@@ -11,11 +11,12 @@ from dna_tpu.train.step import make_train_step
 batch, remat, flash = int(sys.argv[1]), sys.argv[2]=='1', sys.argv[3]=='1'
 policy = sys.argv[4] if len(sys.argv) > 4 else "full"
 seq = int(sys.argv[5]) if len(sys.argv) > 5 else 128
+extra = sys.argv[6:]  # e.g. optimizer.mu_dtype=bfloat16
 cfg = get_experiment("dnabert2_pretrain", [
     f"data.batch_size={batch}", f"data.max_length={seq}",
     f"data.num_samples={batch*4}", f"model.remat={str(remat).lower()}",
     f"model.use_flash={str(flash).lower()}", f"model.remat_policy={policy}",
-])
+] + extra)
 mesh = build_mesh(MeshConfig(dp=1, fsdp=1, tp=1, pp=1, sp=1))
 exp = build(cfg, mesh=mesh)
 dummy = jnp.zeros((2, seq), jnp.int32)

@@ -458,3 +458,19 @@ def test_ntv2_conversion_matches_torch():
                                    atol=2e-5, rtol=1e-4)
     finally:
         modeling_esm.apply_rotary_pos_emb = orig_rope
+
+
+def test_family_for_repo_inference():
+    """Hub pull path (reference `huggingface.py:84`): family inferred from
+    the repo id; unknown ids raise with the available families listed."""
+    import pytest
+
+    from dna_tpu.convert import family_for_repo
+
+    assert family_for_repo("LongSafari/hyenadna-small-32k-seqlen") == "hyenadna"
+    assert family_for_repo("kuleshov-group/caduceus-ph_seqlen-131k") == "caduceus"
+    assert family_for_repo("zhihan1996/DNABERT-2-117M") == "dnabert2"
+    assert family_for_repo(
+        "InstaDeepAI/nucleotide-transformer-v2-100m-multi-species") == "ntv2"
+    with pytest.raises(ValueError, match="cannot infer"):
+        family_for_repo("some/random-model")
