@@ -197,7 +197,20 @@ def multihead_attention_qkv(
     sp_mesh = _ambient_sp_mesh()
     tp_mesh = _ambient_tp_mesh()
     if dropout_rate > 0.0 and dropout_rng is not None:
-        impl = "ref"  # p>0 runs the materialized-probs path (see above)
+        if (impl == "auto" and sp_mesh is None and tp_mesh is None
+                and attention_small.supports_qkv(S, H, D)
+                and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):
+            # in-kernel dropout: the keep/scale mask rides along (the same
+            # bernoulli draw attention_ref makes for this rng, so kernel
+            # and ref paths agree exactly). EXCEEDS the reference, whose
+            # Triton kernel can't do p>0 and falls back to torch.
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                        (B, H, S, S))
+            dm = keep.astype(qkv.dtype) / (1.0 - dropout_rate)
+            return attention_small.fused_small_attention_qkv(
+                qkv, H, attention_mask=attention_mask, alibi=alibi,
+                causal=causal, softmax_scale=softmax_scale, dropout_mask=dm)
+        impl = "ref"  # p>0 otherwise runs the materialized-probs path
     if (impl == "auto" and sp_mesh is None and tp_mesh is None
             and attention_small.supports_qkv(S, H, D)
             and _os.environ.get("DNA_TPU_SMALL_ATTN", "1") != "0"):

@@ -268,8 +268,9 @@ def _cat_bias(bias, rel, slope_ref, t, T, alibi):
     return jnp.concatenate(parts, axis=0) if T > 1 else parts[0]
 
 
-def _fwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, o_ref, *, n_heads: int,
-                    head_dim: int, causal: bool, alibi: bool, scale: float):
+def _fwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, drop_ref, o_ref, *,
+                    n_heads: int, head_dim: int, causal: bool, alibi: bool,
+                    scale: float):
     # Heads within a 128-lane tile are STACKED along sublanes ([T·S, 128]):
     # one matmul and one softmax per algebra step for the whole tile, with
     # lane masks on the *contraction operand* isolating each head. Halves
@@ -298,6 +299,12 @@ def _fwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, o_ref, *, n_heads: int,
                 preferred_element_type=jnp.float32) * scale  # [T·S, S]
             s = s + _cat_bias(bias, rel, slope_ref, t, T, alibi)
             p = _softmax_p(s)
+            if drop_ref is not None:
+                # attention-prob dropout rides along as a precomputed
+                # keep/scale mask (0 or 1/(1-p)) in the stacked-head layout
+                # — the same bernoulli draw the XLA ref path makes, so
+                # kernel and ref agree exactly for a given rng
+                p = p * drop_ref[g, t].astype(jnp.float32)
             o_cat = jax.lax.dot_general(
                 p.astype(vp.dtype), vp, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [T·S, width]
@@ -310,9 +317,9 @@ def _fwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, o_ref, *, n_heads: int,
             o_ref[g, :, pl.ds(t * width, width)] = o_tile.astype(o_ref.dtype)
 
 
-def _bwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, do_ref, o_ref, dqkv_ref, *,
-                    n_heads: int, head_dim: int, causal: bool, alibi: bool,
-                    scale: float):
+def _bwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, drop_ref, do_ref, o_ref,
+                    dqkv_ref, *, n_heads: int, head_dim: int, causal: bool,
+                    alibi: bool, scale: float):
     S = qkv_ref.shape[1]
     G = qkv_ref.shape[0]
     HD = qkv_ref.shape[2] // 3
@@ -344,15 +351,23 @@ def _bwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, do_ref, o_ref, dqkv_ref, *,
                 preferred_element_type=jnp.float32) * scale
             s = s + _cat_bias(bias, rel, slope_ref, t, T, alibi)
             p = _softmax_p(s)                 # [T·S, S]
-            pb = p.astype(vp.dtype)
             # delta from the SAVED fwd output instead of a PV-recompute
-            # matmul (o is resident in HBM anyway as the out-proj's input)
+            # matmul (o is resident in HBM anyway as the out-proj's input).
+            # Exact under dropout too: o = (p∘m)V ⇒ rowsum(do∘o) =
+            # rowsum((p∘m)∘(doVᵀ)), which is the softmax-vjp delta for
+            # combine-weights q = p∘m.
             delta = jnp.sum(do_cat.astype(jnp.float32)
                             * o_cat.astype(jnp.float32), axis=-1,
                             keepdims=True)    # [T·S, 1]
             dp = jax.lax.dot_general(do_cat, vp, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            ds = (p * (dp - delta) * scale).astype(qp.dtype)
+            if drop_ref is not None:
+                dm = drop_ref[g, t].astype(jnp.float32)
+                pb = (p * dm).astype(vp.dtype)   # combine-weights p∘m for dv
+                ds = (p * (dm * dp - delta) * scale).astype(qp.dtype)
+            else:
+                pb = p.astype(vp.dtype)
+                ds = (p * (dp - delta) * scale).astype(qp.dtype)
             # dq: unmasked kp puts head j's grad in its own lanes; mask+sum
             dq_cat = jax.lax.dot_general(
                 ds, kp, (((1,), (0,)), ((), ())),
@@ -382,6 +397,15 @@ def _bwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, do_ref, o_ref, dqkv_ref, *,
 def _mask_none_wrapper(kernel, mask_pos, *refs, **kw):
     refs = list(refs)
     refs.insert(mask_pos, None)
+    return kernel(*refs, **kw)
+
+
+def _none_wrapper(kernel, positions, *refs, **kw):
+    """Insert None refs at the given (ascending) positions — for kernels
+    whose optional inputs (mask, dropout mask) are absent this call."""
+    refs = list(refs)
+    for pos in positions:
+        refs.insert(pos, None)
     return kernel(*refs, **kw)
 
 
@@ -500,22 +524,27 @@ def _small_bwd(n_heads, causal, alibi, scale, res, do):
 _small.defvjp(_small_fwd, _small_bwd)
 
 
-def _fwd_impl_qkv(qkv, mask, slopes, *, n_heads, causal, alibi, scale):
+def _fwd_impl_qkv(qkv, mask, drop, slopes, *, n_heads, causal, alibi, scale):
     B, S, HD3 = qkv.shape
     HD = HD3 // 3
     head_dim = HD // n_heads
-    G = _group(B, S, HD, n_bufs=4, direction="fwd")
+    G = _group(B, S, HD, n_bufs=4 if drop is None else 6, direction="fwd")
     qkv_spec = pl.BlockSpec((G, S, HD3), lambda b, *_: (b, 0, 0))
     o_spec = pl.BlockSpec((G, S, HD), lambda b, *_: (b, 0, 0))
     in_specs = [qkv_spec]
     if mask is not None:
         in_specs.append(pl.BlockSpec((G, 1, S), lambda b, *_: (b, 0, 0)))
-    inputs = [qkv] + ([mask] if mask is not None else [])
+    if drop is not None:
+        in_specs.append(pl.BlockSpec(
+            (G,) + drop.shape[1:], lambda b, *_: (b, 0, 0, 0)))
+    inputs = ([qkv] + ([mask] if mask is not None else [])
+              + ([drop] if drop is not None else []))
     kernel = functools.partial(_fwd_kernel_qkv, n_heads=n_heads,
                                head_dim=head_dim, causal=causal, alibi=alibi,
                                scale=scale)
-    if mask is None:
-        kernel = functools.partial(_mask_none_wrapper, kernel, 2)
+    nones = [p for p, x in ((2, mask), (3, drop)) if x is None]
+    if nones:
+        kernel = functools.partial(_none_wrapper, kernel, nones)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -529,25 +558,30 @@ def _fwd_impl_qkv(qkv, mask, slopes, *, n_heads, causal, alibi, scale):
     )(slopes, *inputs)
 
 
-def _bwd_impl_qkv(qkv, mask, slopes, do, o, *, n_heads, causal, alibi,
+def _bwd_impl_qkv(qkv, mask, drop, slopes, do, o, *, n_heads, causal, alibi,
                   scale):
     B, S, HD3 = qkv.shape
     HD = HD3 // 3
     head_dim = HD // n_heads
-    G = _group(B, S, HD, n_bufs=9, direction="bwd")
+    G = _group(B, S, HD, n_bufs=9 if drop is None else 11, direction="bwd")
     qkv_spec = pl.BlockSpec((G, S, HD3), lambda b, *_: (b, 0, 0))
     o_spec = pl.BlockSpec((G, S, HD), lambda b, *_: (b, 0, 0))
     in_specs = [qkv_spec]
     if mask is not None:
         in_specs.append(pl.BlockSpec((G, 1, S), lambda b, *_: (b, 0, 0)))
+    if drop is not None:
+        in_specs.append(pl.BlockSpec(
+            (G,) + drop.shape[1:], lambda b, *_: (b, 0, 0, 0)))
     in_specs.append(o_spec)  # do
     in_specs.append(o_spec)  # o (saved fwd output, for delta)
-    inputs = [qkv] + ([mask] if mask is not None else []) + [do, o]
+    inputs = ([qkv] + ([mask] if mask is not None else [])
+              + ([drop] if drop is not None else []) + [do, o])
     kernel = functools.partial(_bwd_kernel_qkv, n_heads=n_heads,
                                head_dim=head_dim, causal=causal, alibi=alibi,
                                scale=scale)
-    if mask is None:
-        kernel = functools.partial(_mask_none_wrapper, kernel, 2)
+    nones = [p for p, x in ((2, mask), (3, drop)) if x is None]
+    if nones:
+        kernel = functools.partial(_none_wrapper, kernel, nones)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -561,25 +595,25 @@ def _bwd_impl_qkv(qkv, mask, slopes, do, o, *, n_heads, causal, alibi,
     )(slopes, *inputs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _small_qkv(qkv, mask, slopes, n_heads, causal, alibi, scale):
-    return _fwd_impl_qkv(qkv, mask, slopes, n_heads=n_heads, causal=causal,
-                         alibi=alibi, scale=scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _small_qkv(qkv, mask, drop, slopes, n_heads, causal, alibi, scale):
+    return _fwd_impl_qkv(qkv, mask, drop, slopes, n_heads=n_heads,
+                         causal=causal, alibi=alibi, scale=scale)
 
 
-def _small_qkv_fwd(qkv, mask, slopes, n_heads, causal, alibi, scale):
-    o = _fwd_impl_qkv(qkv, mask, slopes, n_heads=n_heads, causal=causal,
-                      alibi=alibi, scale=scale)
-    return o, (qkv, mask, slopes, o)
+def _small_qkv_fwd(qkv, mask, drop, slopes, n_heads, causal, alibi, scale):
+    o = _fwd_impl_qkv(qkv, mask, drop, slopes, n_heads=n_heads,
+                      causal=causal, alibi=alibi, scale=scale)
+    return o, (qkv, mask, drop, slopes, o)
 
 
 def _small_qkv_bwd(n_heads, causal, alibi, scale, res, do):
     from dna_tpu.ops.flash_attention import _zero_ct
 
-    qkv, mask, slopes, o = res
-    dqkv = _bwd_impl_qkv(qkv, mask, slopes, do, o, n_heads=n_heads,
+    qkv, mask, drop, slopes, o = res
+    dqkv = _bwd_impl_qkv(qkv, mask, drop, slopes, do, o, n_heads=n_heads,
                          causal=causal, alibi=alibi, scale=scale)
-    return dqkv, _zero_ct(mask), jnp.zeros_like(slopes)
+    return dqkv, _zero_ct(mask), _zero_ct(drop), jnp.zeros_like(slopes)
 
 
 _small_qkv.defvjp(_small_qkv_fwd, _small_qkv_bwd)
@@ -599,9 +633,17 @@ def fused_small_attention_qkv(
     softmax_scale: Optional[float] = None,
     slopes: Optional[jax.Array] = None,  # explicit per-head ALiBi slopes
                                          # (tp shard_map passes a head shard)
+    dropout_mask: Optional[jax.Array] = None,  # [B, H, S, S] keep/scale
+                                               # values: 0 or 1/(1-p)
 ) -> jax.Array:
     """Attention straight from the fused QKV projection output; returns
-    [B, S, H·D]. Avoids the q/k/v slice + reshape copies entirely."""
+    [B, S, H·D]. Avoids the q/k/v slice + reshape copies entirely.
+
+    `dropout_mask` enables attention-prob dropout IN KERNEL (the reference's
+    Triton kernel can't do p>0 and falls back, `bert_layers.py:166-197`):
+    the precomputed keep/scale mask rides along in the stacked-head layout
+    and multiplies the post-softmax probs in fwd and the recomputed probs in
+    bwd — identical numbers to the XLA ref path for the same bernoulli draw."""
     if qkv.ndim == 5:
         B, S, three, H, D = qkv.shape
         assert three == 3 and H == n_heads
@@ -618,7 +660,14 @@ def fused_small_attention_qkv(
     mask = None
     if attention_mask is not None:
         mask = attention_mask.astype(jnp.int32)[:, None, :]
-    return _small_qkv(qkv, mask, slopes, n_heads, causal, alibi, scale)
+    drop = None
+    if dropout_mask is not None:
+        # [B, H, S, S] → [B, n_t, T·S, S]: heads split h = t·T + j into
+        # (tile, sublane-block) — contiguous reshapes, no transpose
+        T = max(1, 128 // D)
+        n_t = n_heads // T
+        drop = dropout_mask.reshape(B, n_t, T * S, S).astype(qkv.dtype)
+    return _small_qkv(qkv, mask, drop, slopes, n_heads, causal, alibi, scale)
 
 
 def supports(S: int, H: int, D: int) -> bool:

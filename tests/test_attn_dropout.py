@@ -117,3 +117,41 @@ def test_models_train_with_attn_dropout(model_kind):
     tr2 = m.apply(params, ids, mask, deterministic=False,
                   rngs={"dropout": jax.random.key(3)})
     assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+
+
+def test_small_kernel_in_kernel_dropout_matches_ref():
+    """The packed-QKV kernel's ride-along dropout must agree EXACTLY with
+    the XLA ref path (same rng → same bernoulli draw), fwd and grads."""
+    from dna_tpu.ops import attention_small
+    from dna_tpu.ops.attention import multihead_attention_qkv
+    from dna_tpu.ops.attention_ref import alibi_bias
+
+    B, S, H, D = 4, 128, 4, 64
+    assert attention_small.supports_qkv(S, H, D)
+    qkv = jax.random.normal(jax.random.key(0), (B, S, 3, H, D), jnp.float32)
+    amask = jnp.ones((B, S), jnp.int32).at[:, -7:].set(0)
+    rng = jax.random.key(9)
+    p = 0.2
+
+    def kernel_path(qkv):
+        return multihead_attention_qkv(
+            qkv, attention_mask=amask, alibi=True, impl="auto",
+            dropout_rate=p, dropout_rng=rng)
+
+    def ref_path(qkv):
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        from dna_tpu.ops.attention_ref import attention_ref, padding_bias
+
+        bias = alibi_bias(H, S) + padding_bias(amask)
+        out = attention_ref(q, k, v, bias, dropout_rate=p, dropout_rng=rng)
+        return out.reshape(B, S, H * D)
+
+    out_k = kernel_path(qkv)
+    out_r = ref_path(qkv)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=2e-5, rtol=2e-5)
+
+    gk = jax.grad(lambda x: jnp.sum(kernel_path(x) ** 2))(qkv)
+    gr = jax.grad(lambda x: jnp.sum(ref_path(x) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               atol=3e-4, rtol=3e-4)
