@@ -93,13 +93,15 @@ def multihead_attention(
                 and _os.environ.get("DNA_TPU_MID_ATTN", "1") != "0"
                 and (jax.default_backend() != "tpu"
                      or _os.environ.get("DNA_TPU_MID_ATTN") == "1")):
-            # TODO(flip default): opt-in on real TPU until the Mosaic
-            # compile of the revisited fp32 dk/dv blocks is validated on
-            # hardware (tunnel was down at authoring time); interpret-mode
-            # numerics are fully tested
+            # TODO(flip default): the Mosaic compile + numerics ARE
+            # validated on real v5e (r4: S=1024 fwd err 0.0039, grad rel
+            # errs ≤2% of scale vs ref — bf16 tolerance); still opt-in on
+            # TPU until the fwd+bwd timing vs flash is measured on a
+            # healthy tunnel (scripts/bench_attn_mid.py) — flip once the
+            # crossover table is in CLAUDE.md.
             # KV-resident paired-lane kernel for 512 < S ≤ 4096: keeps the
             # packed lane layout (no D=64 padding) and full-row softmax in
-            # VMEM; measured well ahead of the flash kernel in this range
+            # VMEM.
             from dna_tpu.ops import attention_mid
 
             if attention_mid.supports(S, H, D):

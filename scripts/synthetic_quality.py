@@ -251,6 +251,10 @@ def run_transfer(nt_dir, pre_params):
 
 
 def main():
+    # SYNTH_PARTS selects stages (the 8-virtual-device CPU mesh can hit XLA
+    # collective rendezvous timeouts on small boxes — rerun halves solo
+    # with --xla_force_host_platform_device_count=1 if needed)
+    parts = os.environ.get("SYNTH_PARTS", "sweeps,transfer").split(",")
     os.makedirs(OUT, exist_ok=True)
     nt_dir = write_nt_planted(DATA)
     gb_dir = write_gb_planted(DATA)
@@ -258,12 +262,17 @@ def main():
     summary = {"seeds": SEEDS, "n_train": N_TRAIN, "n_test": N_TEST,
                "n_fewshot": N_FEWSHOT,
                "ceilings": {"nt_H4_planted": 1.0, "gb_promoters_planted": 1.0}}
-    summary["sweeps"] = run_sweeps(nt_dir, gb_dir)
-    pre = pretrain_backbone(nt_dir)
-    summary["transfer"] = {k: (v if isinstance(v, float) else
-                               {kk: vv for kk, vv in v.items()})
-                           for k, v in run_transfer(nt_dir, pre).items()}
-    with open(os.path.join(OUT, "summary.json"), "w") as f:
+    path = os.path.join(OUT, "summary.json")
+    if os.path.exists(path):
+        summary.update(json.load(open(path)))
+    if "sweeps" in parts:
+        summary["sweeps"] = run_sweeps(nt_dir, gb_dir)
+    if "transfer" in parts:
+        pre = pretrain_backbone(nt_dir)
+        summary["transfer"] = {k: (v if isinstance(v, float) else
+                                   {kk: vv for kk, vv in v.items()})
+                               for k, v in run_transfer(nt_dir, pre).items()}
+    with open(path, "w") as f:
         json.dump(summary, f, indent=1, default=float)
     print(f"artifacts in {OUT}/", flush=True)
 
