@@ -394,6 +394,184 @@ def _bwd_kernel_qkv(slope_ref, qkv_ref, mask_ref, drop_ref, do_ref, o_ref,
                 dv_t.astype(dqkv_ref.dtype))
 
 
+def _tile_biases(S, n_t, T, slope_ref, causal, alibi):
+    """Per-tile [T·S, S] additive bias (ALiBi slopes + causal), built ONCE
+    per kernel invocation and reused across the batch-group loop — the v1
+    kernels rebuilt it per (g, t), which `probe_trace` priced as a real VPU
+    cost at S=128 (the bwd kernel ran at ~2.2× its speed-of-light)."""
+    if not (causal or alibi):
+        return [None] * n_t
+    rel = _alibi_rel(S) if alibi else None
+    causal_bias = None
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        causal_bias = jnp.where(rows >= cols, 0.0, NEG_INF)
+    out = []
+    for t in range(n_t):
+        parts = []
+        for j in range(T):
+            b = jnp.zeros((S, S), jnp.float32)
+            if causal_bias is not None:
+                b = b + causal_bias
+            if alibi:
+                b = b - slope_ref[t * T + j] * rel
+            parts.append(b)
+        out.append(jnp.concatenate(parts, axis=0) if T > 1 else parts[0])
+    return out
+
+
+def _mask_bias_row(mask_ref, g):
+    """[1, S] key-padding bias — broadcast-added to scores instead of being
+    materialized into the [T·S, S] bias (one fewer S²-sized build)."""
+    if mask_ref is None:
+        return None
+    return jnp.where(mask_ref[g, 0, :][None, :] != 0, 0.0, NEG_INF)
+
+
+def _fwd_kernel_qkv_v2(slope_ref, qkv_ref, mask_ref, drop_ref, o_ref, *,
+                       n_heads: int, head_dim: int, causal: bool, alibi: bool,
+                       scale: float):
+    """Pass-minimized rewrite of `_fwd_kernel_qkv`. Same stacked-head
+    algebra; the fp32 [T·S, S] data is touched by as few VPU passes as the
+    math allows: per-tile biases are precomputed once per invocation, the
+    softmax normalization is deferred past the PV matmul (o rows scale by
+    1/l — a [T·S, width] op instead of an S²-sized divide), and the key-pad
+    bias stays a broadcast [1, S] row."""
+    S = qkv_ref.shape[1]
+    G = qkv_ref.shape[0]
+    HD = qkv_ref.shape[2] // 3
+    T = max(1, 128 // head_dim)
+    width = head_dim * T
+    n_t = HD // width
+    lane_masks = _lane_head_masks(S, T, qkv_ref.dtype) if T > 1 else None
+    tbias = _tile_biases(S, n_t, T, slope_ref, causal, alibi)
+    for g in range(G):
+        mb = _mask_bias_row(mask_ref, g)
+        for t in range(n_t):
+            qp = qkv_ref[g, :, pl.ds(t * width, width)]
+            kp = qkv_ref[g, :, pl.ds(HD + t * width, width)]
+            vp = qkv_ref[g, :, pl.ds(2 * HD + t * width, width)]
+            if T > 1:
+                q_cat = jnp.concatenate(
+                    [qp * lane_masks[j] for j in range(T)], axis=0)
+            else:
+                q_cat = qp
+            s = jax.lax.dot_general(
+                q_cat, kp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + tbias[t] if tbias[t] is not None else s * scale
+            if mb is not None:
+                s = s + mb
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)                      # unnormalized probs
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            inv_l = 1.0 / jnp.where(l == 0.0, 1.0, l)
+            if drop_ref is not None:
+                eb = (e * drop_ref[g, t].astype(jnp.float32)).astype(vp.dtype)
+            else:
+                eb = e.astype(vp.dtype)
+            o_cat = jax.lax.dot_general(
+                eb, vp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_cat = o_cat * inv_l                   # deferred normalization
+            if T > 1:
+                o_tile = sum(o_cat[j * S:(j + 1) * S]
+                             * lane_masks[j].astype(jnp.float32)
+                             for j in range(T))
+            else:
+                o_tile = o_cat
+            o_ref[g, :, pl.ds(t * width, width)] = o_tile.astype(o_ref.dtype)
+
+
+def _bwd_kernel_qkv_v2(slope_ref, qkv_ref, mask_ref, drop_ref, do_ref, o_ref,
+                       dqkv_ref, *, n_heads: int, head_dim: int, causal: bool,
+                       alibi: bool, scale: float):
+    """Pass-minimized rewrite of `_bwd_kernel_qkv` (see `_fwd_kernel_qkv_v2`).
+    Works on unnormalized probs e = exp(s−m): the 1/l softmax factor folds
+    into the per-row scalar of ds (scale·inv_l) and into the do rows feeding
+    dv (dv = ebᵀ·(do·inv_l)) — two [T·S, ·] column ops replace two S²-sized
+    passes, and tile biases amortize across the batch group."""
+    S = qkv_ref.shape[1]
+    G = qkv_ref.shape[0]
+    HD = qkv_ref.shape[2] // 3
+    T = max(1, 128 // head_dim)
+    width = head_dim * T
+    n_t = HD // width
+    lane_masks = _lane_head_masks(S, T, qkv_ref.dtype) if T > 1 else None
+    tbias = _tile_biases(S, n_t, T, slope_ref, causal, alibi)
+    for g in range(G):
+        mb = _mask_bias_row(mask_ref, g)
+        for t in range(n_t):
+            qp = qkv_ref[g, :, pl.ds(t * width, width)]
+            kp = qkv_ref[g, :, pl.ds(HD + t * width, width)]
+            vp = qkv_ref[g, :, pl.ds(2 * HD + t * width, width)]
+            dop = do_ref[g, :, pl.ds(t * width, width)]
+            op = o_ref[g, :, pl.ds(t * width, width)]
+            if T > 1:
+                q_cat = jnp.concatenate(
+                    [qp * lane_masks[j] for j in range(T)], axis=0)
+                do_cat = jnp.concatenate(
+                    [dop * lane_masks[j] for j in range(T)], axis=0)
+                o_cat = jnp.concatenate([op] * T, axis=0)
+            else:
+                q_cat, do_cat, o_cat = qp, dop, op
+            s = jax.lax.dot_general(
+                q_cat, kp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + tbias[t] if tbias[t] is not None else s * scale
+            if mb is not None:
+                s = s + mb
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            inv_l = 1.0 / jnp.where(l == 0.0, 1.0, l)   # [T·S, 1]
+            delta = jnp.sum(do_cat.astype(jnp.float32)
+                            * o_cat.astype(jnp.float32), axis=-1,
+                            keepdims=True)               # [T·S, 1]
+            dp = jax.lax.dot_general(do_cat, vp, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            rowscale = scale * inv_l                     # [T·S, 1]
+            if drop_ref is not None:
+                dm = drop_ref[g, t].astype(jnp.float32)
+                ds = (e * ((dm * dp - delta) * rowscale)).astype(qp.dtype)
+                eb = (e * dm).astype(vp.dtype)
+            else:
+                ds = (e * ((dp - delta) * rowscale)).astype(qp.dtype)
+                eb = e.astype(vp.dtype)
+            # dv = pbᵀ·do with pb = e·(dm)/l: fold 1/l into the do rows
+            do_scaled = (do_cat.astype(jnp.float32) * inv_l).astype(vp.dtype)
+            dq_cat = jax.lax.dot_general(
+                ds, kp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if T > 1:
+                dq_t = sum(dq_cat[j * S:(j + 1) * S]
+                           * lane_masks[j].astype(jnp.float32)
+                           for j in range(T))
+            else:
+                dq_t = dq_cat
+            dk_t = jax.lax.dot_general(
+                ds, q_cat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv_t = jax.lax.dot_general(
+                eb, do_scaled, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqkv_ref[g, :, pl.ds(t * width, width)] = (
+                dq_t.astype(dqkv_ref.dtype))
+            dqkv_ref[g, :, pl.ds(HD + t * width, width)] = (
+                dk_t.astype(dqkv_ref.dtype))
+            dqkv_ref[g, :, pl.ds(2 * HD + t * width, width)] = (
+                dv_t.astype(dqkv_ref.dtype))
+
+
+def _qkv_alg():
+    """v2 (default): pass-minimized kernels; v1: the r2b originals
+    (DNA_TPU_SMALL_ATTN_ALG=v1 for A/B probes)."""
+    import os
+
+    return os.environ.get("DNA_TPU_SMALL_ATTN_ALG", "v2")
+
+
 def _mask_none_wrapper(kernel, mask_pos, *refs, **kw):
     refs = list(refs)
     refs.insert(mask_pos, None)
@@ -539,7 +717,8 @@ def _fwd_impl_qkv(qkv, mask, drop, slopes, *, n_heads, causal, alibi, scale):
             (G,) + drop.shape[1:], lambda b, *_: (b, 0, 0, 0)))
     inputs = ([qkv] + ([mask] if mask is not None else [])
               + ([drop] if drop is not None else []))
-    kernel = functools.partial(_fwd_kernel_qkv, n_heads=n_heads,
+    kfn = _fwd_kernel_qkv_v2 if _qkv_alg() == "v2" else _fwd_kernel_qkv
+    kernel = functools.partial(kfn, n_heads=n_heads,
                                head_dim=head_dim, causal=causal, alibi=alibi,
                                scale=scale)
     nones = [p for p, x in ((2, mask), (3, drop)) if x is None]
@@ -576,7 +755,8 @@ def _bwd_impl_qkv(qkv, mask, drop, slopes, do, o, *, n_heads, causal, alibi,
     in_specs.append(o_spec)  # o (saved fwd output, for delta)
     inputs = ([qkv] + ([mask] if mask is not None else [])
               + ([drop] if drop is not None else []) + [do, o])
-    kernel = functools.partial(_bwd_kernel_qkv, n_heads=n_heads,
+    kfn = _bwd_kernel_qkv_v2 if _qkv_alg() == "v2" else _bwd_kernel_qkv
+    kernel = functools.partial(kfn, n_heads=n_heads,
                                head_dim=head_dim, causal=causal, alibi=alibi,
                                scale=scale)
     nones = [p for p, x in ((2, mask), (3, drop)) if x is None]

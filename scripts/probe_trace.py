@@ -10,10 +10,14 @@ from dna_tpu.parallel.mesh import build_mesh
 from dna_tpu.train.state import create_train_state
 from dna_tpu.train.step import make_train_step
 
-B = S = 128
-cfg = get_experiment("dnabert2_pretrain", [
+# probe_trace.py [EXP=dnabert2_pretrain] [B=128] [S=128] [k=v ...]
+EXP = sys.argv[1] if len(sys.argv) > 1 else "dnabert2_pretrain"
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+S = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+extra = sys.argv[4:]
+cfg = get_experiment(EXP, [
     f"data.batch_size={B}", f"data.max_length={S}",
-    f"data.num_samples={B*4}", "model.remat=false"])
+    f"data.num_samples={B*4}", "model.remat=false"] + extra)
 mesh = build_mesh(MeshConfig(dp=1))
 exp = build(cfg, mesh=mesh)
 dummy = jnp.zeros((2, S), jnp.int32)

@@ -209,7 +209,9 @@ def pretrain_backbone(nt_dir):
     last = [h for h in res.history if "loss" in h]
     print(f"pretrain: final loss {last[-1]['loss']:.4f}" if last else
           "pretrain: done", flush=True)
-    return nn.meta.unbox(loop.state.params)
+    # host copy: the finetune train steps donate their state buffers, so
+    # device-resident pretrain params would be deleted after the first seed
+    return jax.device_get(nn.meta.unbox(loop.state.params))
 
 
 def run_transfer(nt_dir, pre_params):

@@ -55,7 +55,10 @@ def main():
         if dev_pids and e.get("pid") not in dev_pids:
             continue
         name = e["name"]
-        # collapse autotuned variant suffixes: fusion.123 -> fusion
+        # collapse autotuned variant suffixes: fusion.123 -> fusion — but
+        # keep generic fusions apart by their source attribution (grouping
+        # ALL of them under one 45 ms "fusion" row hides exactly the
+        # breakdown this tool exists for)
         base = re.sub(r"\.\d+$", "", name)
         src = ""
         args = e.get("args") or {}
@@ -65,6 +68,9 @@ def main():
                 break
         dur = e["dur"] / 1e3  # us -> ms
         total += dur
+        if base.endswith("fusion") or base == "fusion":
+            key_src = re.sub(r"[0-9]+", "N", src)  # layer_0/layer_11 merge
+            base = f"{base}  @{key_src[:70]}"
         r = rows.setdefault(base, [0.0, 0, src])
         r[0] += dur
         r[1] += 1
