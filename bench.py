@@ -136,7 +136,10 @@ def main():
     # Measured on v5e (16 GB HBM): batch 128 without remat is the per-token
     # optimum (134k tok/s vs 124k at 256+remat; larger batches hit bandwidth
     # pressure). Batch 512 needs remat=1.
-    per_chip_batch = int(os.environ.get("BENCH_PER_CHIP_BATCH", "128"))
+    # 192: the B∈{128..256} sweep with bf16-mu plateaus at ~200k tok/s for
+    # 160-224 and drops at 256 (191.6k) / 128 (196.0k) — r4 curve in
+    # CLAUDE.md
+    per_chip_batch = int(os.environ.get("BENCH_PER_CHIP_BATCH", "192"))
     seq_len = int(os.environ.get("BENCH_SEQ_LEN", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
