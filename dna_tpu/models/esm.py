@@ -64,13 +64,19 @@ class LearnedRotary(nn.Module):
         freq_h = alpha[:, None] * inv_freq2 + beta[:, None] * inv_freq[None]
         t = jnp.arange(S, dtype=jnp.float32)
         freqs = jnp.einsum("s,hd->shd", t, freq_h)            # [S, H, D/2]
-        emb = jnp.concatenate([freqs, freqs], axis=-1)        # [S, H, D]
-        cos = jnp.cos(emb)[None]
-        sin = jnp.sin(emb)[None]
+        # cos/sin stay half-width (the full-D table is just [c, c]) and the
+        # rotation runs in the activation dtype: the fp32 full-width form
+        # cost ntv2-500m ~20 ms/step in tiny cos-table copies + rotate_half
+        # concat fusions (r4 device trace). Tables are exact fp32 up to the
+        # final cast; for fp32 activations this is bit-compatible modulo
+        # reassociation.
+        cos = jnp.cos(freqs)[None].astype(q.dtype)            # [1, S, H, D/2]
+        sin = jnp.sin(freqs)[None].astype(q.dtype)
 
         def rot(x):
-            x32 = x.astype(jnp.float32)
-            return ((x32 * cos) + (rotate_half(x32) * sin)).astype(x.dtype)
+            x1, x2 = jnp.split(x, 2, axis=-1)
+            return jnp.concatenate(
+                [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
         return rot(q), rot(k)
 

@@ -167,7 +167,8 @@ def run_sweeps(nt_dir, gb_dir):
           "optimizer.lr=1e-3"], "val/mcc", ("mcc", "f1")),
         ("nt_denoisecnn",
          [f"data.dest_path={nt_dir}", "data.dataset_name=H4",
-          "optimizer.lr=3e-3"], "val/mcc", ("mcc", "f1")),
+          # 3e-3 diverged for 1/5 seeds (MCC 0.0 at seed 43, r4)
+          "optimizer.lr=1e-3"], "val/mcc", ("mcc", "f1")),
         ("genomic_benchmark",
          [f"data.dest_path={gb_dir}", "data.dataset_name=demo_promoters",
           "model.hyena_filter_emb_dim=5", "model.hyena_filter_order=16",
