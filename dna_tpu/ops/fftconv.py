@@ -143,13 +143,17 @@ def _blocked_bwd(fft_size, res, dy):
 
 _causal_fftconv_blocked.defvjp(_blocked_fwd, _blocked_bwd)
 
-# Measured on v5e (2026-08-18): the full hg38_hyena train step at L=65536
-# compiles in 46 s with the monolithic XLA FFT and runs at 197k tok/s; the
-# blocked decomposition's op blow-up made *compile* exceed 560 s. The
-# round-1 "L=64k compile exceeds the tunnel budget" was a degraded-tunnel
-# artifact. Keep the blocked path opt-in (DNA_TPU_FFT_IMPL=blocked) for
-# environments where giant monolithic FFTs do regress.
-BLOCKED_FFT_MIN_LEN = 1 << 62
+# Impl crossover, measured on v5e (r4, full hg38_hyena train steps, losses
+# identical): blocked Cooley-Tukey vs monolithic XLA FFT —
+#   L=1024  B=32: 65.5 vs 82.1 ms  (+25% tok/s — XLA's radix stages
+#                  materialize ~17 GB/step of fp32 intermediates + layout
+#                  copies at this size, scripts/probe_hlo.py)
+#   L=4096  B=4:  38.0 vs 39.9 ms  (+5%)
+#   L=16384 B=1:  52.1 vs 50.7 ms  (xla ahead; and at L=65536 the blocked
+#                  op blow-up made compile exceed the tunnel budget, r1)
+# auto → blocked for fft_size ≤ this, monolithic above. DNA_TPU_FFT_IMPL
+# ∈ {xla, blocked} forces either.
+BLOCKED_FFT_MAX_SIZE = 8192
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -204,7 +208,7 @@ def fftconv(
     orig_dtype = u.dtype
     impl = _os.environ.get("DNA_TPU_FFT_IMPL", "auto")
     use_blocked = (impl == "blocked") or (
-        impl == "auto" and L >= BLOCKED_FFT_MIN_LEN)
+        impl == "auto" and fft_size <= BLOCKED_FFT_MAX_SIZE)
 
     if k_rev is not None or bidirectional:
         # Bidirectional path keeps the reference's exact formulation: forward

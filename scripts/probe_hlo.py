@@ -15,14 +15,18 @@ from dna_tpu.parallel.mesh import build_mesh
 from dna_tpu.train.state import create_train_state
 from dna_tpu.train.step import make_train_step
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-S = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-TOPN = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+# probe_hlo.py [EXP] [BATCH] [SEQ] [TOPN] [k=v ...] — EXP optional (a
+# leading non-numeric arg), default dnabert2_pretrain
+args = sys.argv[1:]
+EXP = args.pop(0) if args and not args[0].isdigit() else "dnabert2_pretrain"
+B = int(args.pop(0)) if args and args[0].isdigit() else 128
+S = int(args.pop(0)) if args and args[0].isdigit() else 128
+TOPN = int(args.pop(0)) if args and args[0].isdigit() else 30
 
-cfg = get_experiment("dnabert2_pretrain", [
+cfg = get_experiment(EXP, [
     f"data.batch_size={B}", f"data.max_length={S}",
     f"data.num_samples={B*4}", "model.remat=false",
-])
+] + args)
 mesh = build_mesh(MeshConfig(dp=1))
 exp = build(cfg, mesh=mesh)
 dummy = jnp.zeros((2, S), jnp.int32)
