@@ -83,6 +83,48 @@ def _twiddle(n1: int, n2: int) -> jax.Array:
     return jnp.asarray(np.exp(1j * phase), jnp.complex64)
 
 
+def _dft_mat(n: int, inverse: bool = False) -> jax.Array:
+    """[n, n] DFT (or 1/n-normalized inverse) matrix; fp64 phases →
+    complex64, same accuracy discipline as `_twiddle`."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.float64)
+    sign = 2.0 if inverse else -2.0
+    m = np.exp(sign * 1j * np.pi * np.outer(k, k) / n)
+    if inverse:
+        m = m / n
+    return jnp.asarray(m, jnp.complex64)
+
+
+def _use_matmul_dft() -> bool:
+    import os as _os
+
+    return _os.environ.get("DNA_TPU_FFT_IMPL", "auto") in ("matmul", "auto")
+
+
+# W_n above this stays an FFT op: a 512-point DFT matrix is 2 MB complex64
+# (fine, MXU-shaped); the largest hyena length in the zoo (L=65536 →
+# N=131072 = 256·512) still runs fully on matmuls
+MATMUL_DFT_MAX_FACTOR = 512
+
+
+def _fft_axis(x: jax.Array, axis: int, inverse: bool = False) -> jax.Array:
+    """FFT along one factor axis — a DFT matmul by default: the factors are
+    small, so W_n fits comfortably and the contraction runs on the MXU as
+    fusable dot_generals instead of XLA's internal radix pipeline (which
+    materializes layout-copied fp32 stage tensors — scripts/probe_hlo.py
+    priced those at ~17 GB/step on the hg38_hyena L=1024 step).
+    DNA_TPU_FFT_IMPL=blocked keeps FFT ops for the factors."""
+    n = x.shape[axis]
+    if _use_matmul_dft() and n <= MATMUL_DFT_MAX_FACTOR:
+        W = _dft_mat(n, inverse)
+        x_m = jnp.moveaxis(x, axis, -1)
+        y = jnp.einsum("ij,...j->...i", W, x_m,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.moveaxis(y, -1, axis)
+    return (jnp.fft.ifft if inverse else jnp.fft.fft)(x, axis=axis)
+
+
 def _blocked_fft(x: jax.Array, n: int) -> jax.Array:
     """DFT_n of x (complex, zero-padded) along axis -2; output [..., n1, n2,
     D] in the permuted layout X[k1 + n1·k2] = out[..., k1, k2, :]."""
@@ -93,18 +135,18 @@ def _blocked_fft(x: jax.Array, n: int) -> jax.Array:
         x = jnp.pad(x, pad)
     # x[n1_idx·n2 + n2_idx] → [..., n1_idx, n2_idx, D]
     xb = x.reshape(*x.shape[:-2], n1, n2, x.shape[-1])
-    a = jnp.fft.fft(xb, axis=-3)                   # over n1 → k1
+    a = _fft_axis(xb, -3)                          # over n1 → k1
     a = a * _twiddle(n1, n2)[..., None]
-    return jnp.fft.fft(a, axis=-2)                 # over n2 → k2
+    return _fft_axis(a, -2)                        # over n2 → k2
 
 
 def _blocked_ifft(X: jax.Array, n: int) -> jax.Array:
     """Inverse of `_blocked_fft` (same permuted layout in); returns
     [..., n, D] complex."""
     n1, n2 = X.shape[-3], X.shape[-2]
-    a = jnp.fft.ifft(X, axis=-2)
+    a = _fft_axis(X, -2, inverse=True)
     a = a * jnp.conj(_twiddle(n1, n2))[..., None]
-    x = jnp.fft.ifft(a, axis=-3)
+    x = _fft_axis(a, -3, inverse=True)
     return x.reshape(*X.shape[:-3], n1 * n2, X.shape[-1])
 
 
@@ -144,16 +186,16 @@ def _blocked_bwd(fft_size, res, dy):
 _causal_fftconv_blocked.defvjp(_blocked_fwd, _blocked_bwd)
 
 # Impl crossover, measured on v5e (r4, full hg38_hyena train steps, losses
-# identical): blocked Cooley-Tukey vs monolithic XLA FFT —
-#   L=1024  B=32: 65.5 vs 82.1 ms  (+25% tok/s — XLA's radix stages
-#                  materialize ~17 GB/step of fp32 intermediates + layout
-#                  copies at this size, scripts/probe_hlo.py)
-#   L=4096  B=4:  38.0 vs 39.9 ms  (+5%)
-#   L=16384 B=1:  52.1 vs 50.7 ms  (xla ahead; and at L=65536 the blocked
-#                  op blow-up made compile exceed the tunnel budget, r1)
-# auto → blocked for fft_size ≤ this, monolithic above. DNA_TPU_FFT_IMPL
-# ∈ {xla, blocked} forces either.
-BLOCKED_FFT_MAX_SIZE = 8192
+# identical across impls at every point):
+#   L       matmul-DFT   blocked    xla-monolithic
+#   1024/B32   64.9       65.5        82.1 ms
+#   4096/B4    34.3       38.0        39.9
+#   16384/B1   46.9       52.1        50.7
+#   65536/B1  242.1        —         304.2
+# The matmul-DFT decomposition (factor DFTs as MXU dot_generals) wins at
+# every length — auto uses it unconditionally. DNA_TPU_FFT_IMPL ∈
+# {xla, blocked, matmul} forces an impl.
+BLOCKED_FFT_MAX_SIZE = 1 << 62  # auto: decomposed path at every size
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -207,7 +249,7 @@ def fftconv(
     fft_size = 2 * L
     orig_dtype = u.dtype
     impl = _os.environ.get("DNA_TPU_FFT_IMPL", "auto")
-    use_blocked = (impl == "blocked") or (
+    use_blocked = (impl in ("blocked", "matmul")) or (
         impl == "auto" and fft_size <= BLOCKED_FFT_MAX_SIZE)
 
     if k_rev is not None or bidirectional:

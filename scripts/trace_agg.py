@@ -69,8 +69,11 @@ def main():
         dur = e["dur"] / 1e3  # us -> ms
         total += dur
         if base.endswith("fusion") or base == "fusion":
-            key_src = re.sub(r"[0-9]+", "N", src)  # layer_0/layer_11 merge
-            base = f"{base}  @{key_src[:70]}"
+            if os.environ.get("TRACE_AGG_FINE"):
+                base = name  # keep each fusion.NNNN separate
+            else:
+                key_src = re.sub(r"[0-9]+", "N", src)  # layer_0/11 merge
+                base = f"{base}  @{key_src[:70]}"
         r = rows.setdefault(base, [0.0, 0, src])
         r[0] += dur
         r[1] += 1
