@@ -22,13 +22,36 @@ def _direct_causal_conv(u, k):
     return y
 
 
-def test_causal_conv_matches_direct():
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["xla", "blocked", "matmul"])
+def test_causal_conv_matches_direct(impl, monkeypatch):
+    """All three impls (monolithic rfft, blocked Cooley-Tukey with FFT-op
+    factors, matmul-DFT factors — the TPU default) against the O(L²)
+    oracle."""
+    monkeypatch.setenv("DNA_TPU_FFT_IMPL", impl)
     rng = np.random.default_rng(0)
     u = rng.normal(size=(2, 32, 3)).astype(np.float32)
     k = rng.normal(size=(32, 3)).astype(np.float32)
     y = fftconv(jnp.asarray(u), jnp.asarray(k))
     ref = _direct_causal_conv(u, np.broadcast_to(k, u.shape))
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["xla", "blocked", "matmul"])
+def test_impl_grads_agree(impl, monkeypatch):
+    monkeypatch.setenv("DNA_TPU_FFT_IMPL", impl)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(size=(2, 48, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(48, 3)).astype(np.float32))
+    gu, gk = jax.grad(lambda u, k: (fftconv(u, k) ** 2).sum(),
+                      argnums=(0, 1))(u, k)
+    monkeypatch.setenv("DNA_TPU_FFT_IMPL", "xla")
+    ru, rk = jax.grad(lambda u, k: (fftconv(u, k) ** 2).sum(),
+                      argnums=(0, 1))(u, k)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(ru), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=2e-3)
 
 
 def test_skip_term_and_gelu():
