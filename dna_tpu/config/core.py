@@ -118,6 +118,11 @@ class OptimizerConfig:
     # flagship); "bfloat16" halves the m read+write (~-1 ms) at a small,
     # well-studied accuracy cost (T5X-style). Default fp32 = reference parity.
     mu_dtype: Optional[str] = None
+    # dtype for Adam's second moment (no optax equivalent — implemented in
+    # train/optim.py): bf16 nu halves the v read+write too. Riskier than
+    # mu (v is squared-gradient scale; bf16's 8 mantissa bits → ~0.2%
+    # update-magnitude noise after the sqrt) — opt-in, never default.
+    nu_dtype: Optional[str] = None
     # Gradient accumulation (reference `accumulate_grad_batches`,
     # `train.py:644-661`): one optimizer step per N micro-batches.
     accumulate_steps: int = 1

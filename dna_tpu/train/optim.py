@@ -145,8 +145,56 @@ def _layer_decay_scales(params, decay: float) -> Any:
     return jax.tree_util.tree_map_with_path(scale_for, params)
 
 
+def _scale_by_adam_cast(b1, b2, eps, mu_dtype, nu_dtype):
+    """`optax.scale_by_adam` with independently castable moment dtypes —
+    optax exposes `mu_dtype` only, but the second moment is the same size
+    of pure HBM traffic (the flagship optimizer update runs at fp32-traffic
+    speed-of-light, CLAUDE.md r4 trace). Math identical: moments upcast to
+    the gradient dtype for the update, cast back for storage."""
+    import jax.numpy as jnp
+
+    mu_d = jnp.dtype(mu_dtype) if mu_dtype else None
+    nu_d = jnp.dtype(nu_dtype) if nu_dtype else None
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_d or p.dtype), params)
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_d or p.dtype), params)
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
+                                      mu=mu, nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda g, m: b1 * m.astype(g.dtype) + (1 - b1) * g,
+            updates, state.mu)
+        nu = jax.tree_util.tree_map(
+            lambda g, v: b2 * v.astype(g.dtype) + (1 - b2) * (g * g),
+            updates, state.nu)
+        count = state.count + 1
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu, nu)
+        mu = jax.tree_util.tree_map(
+            lambda m: m.astype(mu_d) if mu_d else m, mu)
+        nu = jax.tree_util.tree_map(
+            lambda v: v.astype(nu_d) if nu_d else v, nu)
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 @registry.optimizer.register("adamw")
 def _adamw(lr, cfg: OptimizerConfig):
+    if cfg.nu_dtype:
+        return optax.chain(
+            _scale_by_adam_cast(cfg.betas[0], cfg.betas[1], cfg.eps,
+                                cfg.mu_dtype, cfg.nu_dtype),
+            optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
+            optax.scale_by_learning_rate(lr),
+        )
     return optax.adamw(lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
                        weight_decay=cfg.weight_decay, mask=_decay_mask,
                        mu_dtype=cfg.mu_dtype)

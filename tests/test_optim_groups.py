@@ -108,3 +108,42 @@ def test_mu_dtype_bf16():
     new = optax.apply_updates(params, upd)
     assert bool(jnp.isfinite(new["w"]).all())
     assert float(jnp.abs(new["w"] - params["w"]).max()) > 0
+
+
+def test_nu_dtype_bf16_and_fp32_equivalence():
+    """optimizer.nu_dtype=bfloat16 stores the second moment in bf16; with
+    fp32 moments the custom scale_by_adam path reproduces optax.adamw's
+    updates exactly over several steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from dna_tpu.config.core import OptimizerConfig, SchedulerConfig
+    from dna_tpu.train.optim import build_optimizer
+
+    scfg = SchedulerConfig(name="constant")
+    # bf16 nu actually stored
+    tx, _ = build_optimizer(
+        OptimizerConfig(name="adamw", lr=1e-2, nu_dtype="bfloat16"), scfg)
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    state = tx.init(params)
+    assert any(getattr(l, "dtype", None) == jnp.bfloat16
+               for l in jax.tree_util.tree_leaves(state))
+
+    # fp32 custom path == optax.adamw
+    tx_c, _ = build_optimizer(
+        OptimizerConfig(name="adamw", lr=1e-2, weight_decay=0.01,
+                        nu_dtype="float32"), scfg)
+    tx_o, _ = build_optimizer(
+        OptimizerConfig(name="adamw", lr=1e-2, weight_decay=0.01), scfg)
+    pc = po = {"w": jnp.linspace(-1, 1, 16).reshape(4, 4)}
+    sc, so = tx_c.init(pc), tx_o.init(po)
+    for i in range(5):
+        g = {"w": jnp.full((4, 4), 0.1 * (i + 1), jnp.float32)}
+        uc, sc = tx_c.update(g, sc, pc)
+        uo, so = tx_o.update(g, so, po)
+        pc = optax.apply_updates(pc, uc)
+        po = optax.apply_updates(po, uo)
+    np.testing.assert_allclose(np.asarray(pc["w"]), np.asarray(po["w"]),
+                               atol=1e-6, rtol=1e-6)
