@@ -288,6 +288,15 @@ class TrainConfig:
     # Per-parameter gradient-norm logging (reference TrackNorms callback,
     # `src/callbacks/norms.py:6-39`); adds one metric per param leaf.
     track_param_norms: bool = False
+    # Per-layer activation-norm plane (reference `model.py:86-102`
+    # track_norms publishes `norm/i` per block output); adds one `act_.../
+    # norm/i` scalar per layer to the metrics stream.
+    track_act_norms: bool = False
+    # wandb.watch equivalent (reference `callbacks/wandb.py`): log per-leaf
+    # gradient + parameter histograms (1024-element strided device samples)
+    # to the wandb mirror every `wandb_watch_freq` steps.
+    wandb_watch: bool = False
+    wandb_watch_freq: int = 1000
     # Fast-dev/debug mode (reference `config.debug` → PL fast_dev_run +
     # validate_at_start, `src/utils/train.py:79-91`, `train.py:685-687`):
     # caps the run at `debug_steps`, runs an eval pass before training, and

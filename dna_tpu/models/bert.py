@@ -28,6 +28,7 @@ from dna_tpu.models.layers import (
     SequencePool,
     TokenEmbed,
     _remat_policy,
+    sow_act_norm,
     dense,
     layer_norm,
 )
@@ -118,8 +119,9 @@ class BertEncoder(nn.Module):
         x = self.embed_ln(x).astype(jnp.dtype(cfg.dtype))
         if cfg.dropout > 0.0:
             x = self.embed_dropout(x, deterministic=deterministic)
-        for layer in self.layers:
+        for i, layer in enumerate(self.layers):
             x = layer(x, attention_mask, deterministic=deterministic)
+            sow_act_norm(self, i, x)
         return x
 
 

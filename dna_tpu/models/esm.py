@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from dna_tpu import registry
 from dna_tpu.config.core import ModelConfig
 from dna_tpu.models.layers import (SequencePool, TokenEmbed, _remat_policy,
-                                    dense, layer_norm)
+                                    dense, layer_norm, sow_act_norm)
 from dna_tpu.ops.attention import multihead_attention
 from dna_tpu.ops.attention_ref import attention_ref, padding_bias
 
@@ -279,7 +279,7 @@ class EsmEncoder(nn.Module):
         if cfg.learned_pos_emb:
             x = x + self.pos_embed(input_ids).astype(x.dtype)
         all_probs = []
-        for layer in self.layers:
+        for i, layer in enumerate(self.layers):
             # pass the kwarg only when set: a python bool kwarg through a
             # remat-wrapped layer gets traced and breaks `if` branches
             if output_attentions:
@@ -289,6 +289,7 @@ class EsmEncoder(nn.Module):
                 all_probs.append(probs)
             else:
                 x = layer(x, attention_mask, deterministic=deterministic)
+            sow_act_norm(self, i, x)
         x = self.final_ln(x).astype(x.dtype)
         if output_attentions:
             return x, jnp.stack(all_probs, axis=1)  # [B, L, H, S, S]

@@ -172,6 +172,17 @@ class SequencePool(nn.Module):
         raise ValueError(f"unknown pool mode {self.mode!r}")
 
 
+def sow_act_norm(module: nn.Module, i: int, x: jax.Array) -> None:
+    """Per-block output-norm plane (reference `model.py:86-102` track_norms
+    publishes `norm/i` per layer). Sown into the "act_norms" collection from
+    the backbone loop (outside any remat wrapper); when the train step
+    doesn't mark the collection mutable the value is discarded and XLA DCEs
+    the norm — zero cost unless `train.track_act_norms` is on."""
+    module.sow("act_norms", f"norm/{i}",
+               jnp.linalg.norm(x.astype(jnp.float32)),
+               reduce_fn=lambda _, v: v, init_fn=lambda: jnp.float32(0))
+
+
 def _remat_policy(name: str):
     """Map a config string to a jax.checkpoint policy (None = save nothing,
     i.e. full recompute)."""

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from dna_tpu import registry
 from dna_tpu.config.core import ModelConfig
 from dna_tpu.models.layers import (Mlp, SequencePool, TokenEmbed,
-                                    _remat_policy, dense, layer_norm)
+                                    _remat_policy, dense, layer_norm,
+                                    sow_act_norm)
 from dna_tpu.models.hyena import HyenaOperator
 from dna_tpu.ops.attention import multihead_attention
 
@@ -249,8 +250,9 @@ class LMBackbone(nn.Module):
             x = jnp.concatenate([prefix, x], axis=1)
         if self.learned_pos_emb:
             x = x + self.pos_emb[None, : x.shape[1]].astype(x.dtype)
-        for blk in self.blocks:
+        for i, blk in enumerate(self.blocks):
             x = blk(x, deterministic=deterministic)
+            sow_act_norm(self, i, x)
         return self.ln_f(x).astype(x.dtype)
 
     def prefill(self, input_ids: jax.Array):

@@ -35,7 +35,8 @@ import numpy as np
 
 from dna_tpu import registry
 from dna_tpu.config.core import ModelConfig
-from dna_tpu.models.layers import SequencePool, dense, rms_norm
+from dna_tpu.models.layers import (SequencePool, dense, rms_norm,
+                                    sow_act_norm)
 from dna_tpu.ops.scan import selective_scan_auto
 
 # Char-tokenizer complement map (A=7<->T=10, C=8<->G=9; specials/N to self),
@@ -332,6 +333,7 @@ class CaduceusBackbone(nn.Module):
                     [mixer(nf), _rc(mixer(_rc(nr)))], axis=-1)
             else:
                 h = block(f"mixer_{i}")(norm(residual).astype(dtype))
+            sow_act_norm(self, i, h)
 
         residual = h.astype(jnp.float32) if residual is None \
             else residual + h.astype(jnp.float32)

@@ -857,7 +857,12 @@ def supports(S: int, H: int, D: int) -> bool:
     kernels hold stacked [T·S, S] fp32 temporaries (T heads per 128-lane
     tile), so the temporaries term scales with T."""
     T = max(1, 128 // D) if 128 % D == 0 else 1
-    vmem = 8 * 2 * S * H * D * 2 + 6 * T * S * S * 4
+    # v2 precomputes ALL n_t fp32 [T·S, S] tile biases once per invocation
+    # and keeps them live across the batch-group loop (`_tile_biases`), so
+    # the resident-bias term scales with n_t, not just T (r4 advisor
+    # finding) — counted always, conservatively covering alibi+causal.
+    n_t = (H * D) // (T * D) if (H * D) % 128 == 0 else 1
+    vmem = 8 * 2 * S * H * D * 2 + 6 * T * S * S * 4 + n_t * T * S * S * 4
     return (S % 128 == 0 and (H * D) % 128 == 0 and D <= 256
             and vmem <= VMEM_LIMIT * 2 // 5)
 

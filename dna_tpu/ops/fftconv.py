@@ -72,6 +72,18 @@ def _split_fft_size(n: int, max_radix: int = 4096):
     return best
 
 
+def _factorable(n: int, max_radix: int = 4096) -> bool:
+    """True when the decomposed (blocked / matmul-DFT) path can handle n.
+    auto-mode dispatch uses this so an awkward length (e.g. 2·L with a prime
+    factor > 4096) silently falls back to the monolithic rfft instead of
+    raising mid-trace."""
+    try:
+        _split_fft_size(n, max_radix)
+        return True
+    except ValueError:
+        return False
+
+
 def _twiddle(n1: int, n2: int) -> jax.Array:
     # W_N^{k1·n2}: [n1, n2] with N = n1·n2 (fp64 phase then complex64 —
     # float32 phases lose ~1e-3 accuracy at N ≥ 1e5)
@@ -250,7 +262,8 @@ def fftconv(
     orig_dtype = u.dtype
     impl = _os.environ.get("DNA_TPU_FFT_IMPL", "auto")
     use_blocked = (impl in ("blocked", "matmul")) or (
-        impl == "auto" and fft_size <= BLOCKED_FFT_MAX_SIZE)
+        impl == "auto" and fft_size <= BLOCKED_FFT_MAX_SIZE
+        and _factorable(fft_size))
 
     if k_rev is not None or bidirectional:
         # Bidirectional path keeps the reference's exact formulation: forward

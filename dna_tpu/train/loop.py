@@ -68,6 +68,20 @@ class MetricsLogger:
             except Exception:
                 pass
 
+    def log_histograms(self, arrays: Dict[str, Any], step: int):
+        """wandb.watch equivalent (reference `callbacks/wandb.py`): log each
+        named sample array as a wandb.Histogram. No-op without a mirror."""
+        if self._wandb is None or not arrays:
+            return
+        try:
+            import wandb  # type: ignore
+
+            self._wandb.log(
+                {k: wandb.Histogram(v) for k, v in arrays.items()},
+                step=step)
+        except Exception:
+            pass
+
     def log_artifact(self, path: str, name: str, type_: str = "model"):
         """Upload a file/directory as a wandb artifact (the upload half of
         the reference's wandb callbacks, `src/callbacks/wandb.py` — model
@@ -190,7 +204,9 @@ class TrainLoop:
             deterministic=deterministic,
             mlm_gather=getattr(exp.cfg.model, "mlm_gather", 0.0),
             mlm_probability=getattr(exp.cfg.data, "mlm_probability", None),
-            track_param_norms=exp.cfg.train.track_param_norms)
+            track_param_norms=exp.cfg.train.track_param_norms,
+            track_act_norms=exp.cfg.train.track_act_norms,
+            watch=exp.cfg.train.wandb_watch)
         self.eval_step = make_eval_step(exp.model, exp.task_fn, self.mesh,
                                         exp.rules, self.shardings)
         # raw-params eval alongside the EMA one (the reference evaluates val
@@ -340,6 +356,16 @@ class TrainLoop:
         for step_i in range(start_step, steps):
             batch = self._global_batch(next(it))
             self.state, metrics = self.train_step(self.state, batch)
+
+            if cfg.train.wandb_watch:
+                # strip the histogram samples from the scalar stream; log
+                # them to the wandb mirror at the watch frequency
+                watch = {k: metrics.pop(k) for k in
+                         [k for k in metrics if k.startswith("_watch/")]}
+                if (step_i + 1) % max(1, cfg.train.wandb_watch_freq) == 0:
+                    self.logger.log_histograms(
+                        {k[len("_watch/"):]: np.asarray(v)
+                         for k, v in watch.items()}, step_i + 1)
 
             if cfg.train.debug:
                 loss = float(metrics.get("loss", 0.0))

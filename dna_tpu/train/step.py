@@ -67,7 +67,8 @@ def gather_mlm_positions(labels: jax.Array, budget: int):
 
 def make_forward_fn(model: nn.Module, task_fn,
                     mlm_gather: float = 0.0,
-                    mlm_probability: Optional[float] = None) -> Callable:
+                    mlm_probability: Optional[float] = None,
+                    track_act_norms: bool = False) -> Callable:
     """loss_fn(params, batch, rng, deterministic) -> (loss, metrics)."""
 
     def forward(params, batch: Batch, rng, deterministic: bool):
@@ -89,13 +90,25 @@ def make_forward_fn(model: nn.Module, task_fn,
             dropped = jnp.maximum(n_masked - budget, 0).sum()
         # "losses" is mutable so modules can sow auxiliary losses (MoE
         # load-balancing); the collection is empty for every dense model
+        mutable = ["losses", "act_norms"] if track_act_norms else ["losses"]
         logits, variables = model.apply(
             {"params": params}, batch["input_ids"], attention_mask,
             deterministic=deterministic,
             rngs=None if deterministic else {"dropout": rng},
-            mutable=["losses"],
+            mutable=mutable,
             **kwargs)
         loss, metrics = task_fn(logits, batch)
+        if track_act_norms:
+            # per-layer activation-norm plane (reference `model.py:86-102`
+            # track_norms → metrics `norm/i`)
+            metrics = dict(metrics)
+            flat = jax.tree_util.tree_flatten_with_path(
+                variables.get("act_norms", {}))[0]
+            for path, leaf in flat:
+                name = "/".join(
+                    getattr(p, "key", getattr(p, "name", str(p)))
+                    for p in path if getattr(p, "key", None) != "__call__")
+                metrics[f"act_{name}"] = leaf
         aux_leaves = jax.tree_util.tree_leaves(variables.get("losses", {}))
         if aux_leaves:
             import jax.numpy as _jnp
@@ -125,8 +138,11 @@ def make_train_step(
     mlm_gather: float = 0.0,
     mlm_probability: Optional[float] = None,
     track_param_norms: bool = False,
+    track_act_norms: bool = False,
+    watch: bool = False,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jax.Array]]]:
-    forward = make_forward_fn(model, task_fn, mlm_gather, mlm_probability)
+    forward = make_forward_fn(model, task_fn, mlm_gather, mlm_probability,
+                              track_act_norms)
     det = bool(deterministic) if deterministic is not None else True
 
     def train_step(state: TrainState, batch: Batch):
@@ -152,6 +168,27 @@ def make_train_step(
                     for p in path)
                 metrics[f"grad_norm/{name}"] = jnp.sqrt(
                     (leaf.astype(jnp.float32) ** 2).sum())
+        if watch:
+            # wandb.watch equivalent (reference `callbacks/wandb.py` watch
+            # half): per-leaf strided samples of gradients and parameters
+            # ride back in metrics under a "_watch/" prefix; the loop turns
+            # them into wandb.Histogram at `wandb_watch_freq` and strips
+            # them from the JSONL stream.
+            import jax.numpy as jnp
+
+            def _sample(leaf, n=1024):
+                flat = leaf.astype(jnp.float32).ravel()
+                stride = max(1, flat.size // n)
+                return flat[::stride][:n]
+
+            for kind, tree in (("gradients", grads),
+                               ("parameters", state.params)):
+                flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+                for path, leaf in flat:
+                    name = "/".join(
+                        getattr(p, "key", getattr(p, "name", str(p)))
+                        for p in path)
+                    metrics[f"_watch/{kind}/{name}"] = _sample(leaf)
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt,
             ema_params=new_ema)

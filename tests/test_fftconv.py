@@ -39,7 +39,7 @@ def test_causal_conv_matches_direct(impl, monkeypatch):
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["xla", "blocked", "matmul"])
+@pytest.mark.parametrize("impl", ["blocked", "matmul"])
 def test_impl_grads_agree(impl, monkeypatch):
     monkeypatch.setenv("DNA_TPU_FFT_IMPL", impl)
     rng = np.random.default_rng(7)
@@ -52,6 +52,20 @@ def test_impl_grads_agree(impl, monkeypatch):
                       argnums=(0, 1))(u, k)
     np.testing.assert_allclose(np.asarray(gu), np.asarray(ru), atol=2e-3)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=2e-3)
+
+
+def test_auto_unfactorable_falls_back(monkeypatch):
+    # fft_size = 2·4099 has the prime factor 4099 > 4096, so the decomposed
+    # path can't take it — auto must silently use the monolithic rfft
+    # instead of raising mid-trace (r4 advisor finding).
+    monkeypatch.setenv("DNA_TPU_FFT_IMPL", "auto")
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=(1, 4099, 2)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(4099, 2)).astype(np.float32))
+    y = fftconv(u, k)
+    monkeypatch.setenv("DNA_TPU_FFT_IMPL", "xla")
+    ref = fftconv(u, k)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
 
 
 def test_skip_term_and_gelu():

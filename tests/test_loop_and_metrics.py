@@ -271,3 +271,33 @@ def test_wandb_sink_absent_is_noop(tmp_path, monkeypatch):
     lg.log({"loss": 2.0, "step": 1})
     lg.close()
     assert lg._wandb is None
+
+
+def test_act_norms_and_watch(tmp_path):
+    """track_act_norms publishes per-layer `act_.../norm/i` scalars
+    (reference `model.py:86-102`); wandb_watch samples ride under _watch/
+    and are stripped from the JSONL stream."""
+    from dna_tpu.train.loop import TrainLoop
+
+    cfg = get_experiment("dnabert2_pretrain_tiny", [
+        "data.batch_size=8",
+        "train.steps=2",
+        "train.log_every=1",
+        "train.track_act_norms=true",
+        "train.wandb_watch=true",
+        "train.wandb_watch_freq=1",
+    ])
+    mesh = build_mesh(MeshConfig(dp=4, fsdp=2))
+    exp = build(cfg, mesh=mesh)
+    loop = TrainLoop(exp, log_dir=str(tmp_path), verbose=False)
+    res = loop.run()
+    acts = [k for k in res.final_metrics if k.startswith("act_")]
+    n_layers = cfg.model.n_layers
+    assert len(acts) == n_layers, acts
+    for k in acts:
+        assert np.isfinite(res.final_metrics[k])
+        assert res.final_metrics[k] > 0
+    # watch samples never leak into the scalar metric records
+    assert not any(k.startswith("_watch/") for k in res.final_metrics)
+    for rec in res.history:
+        assert not any(k.startswith("_watch/") for k in rec)
