@@ -101,7 +101,6 @@ def seed_sweep(cfg: ExperimentConfig, *, seeds: Sequence[int] = (2222, 42, 43),
 def _write_sweep_artifacts(output_dir, cfg: ExperimentConfig,
                            seeds: Sequence[int], by_seed: Dict[int, float],
                            agg: Dict[str, Any]) -> None:
-    import csv
     import os
 
     os.makedirs(output_dir, exist_ok=True)
@@ -110,12 +109,39 @@ def _write_sweep_artifacts(output_dir, cfg: ExperimentConfig,
     with open(os.path.join(output_dir, name), "w") as f:
         for seed in seeds:
             f.write(f"{seed} {by_seed.get(seed, -1.0)}\n")
+    regenerate_sweep_csv(output_dir)
+
+
+def regenerate_sweep_csv(output_dir) -> None:
+    """Rebuild `mean_and_range_diff.csv` from every `result_*.txt` in the
+    directory — one row per result file, always current (the reference's
+    `py_cal_mean.py:16-46` aggregation; regenerating rather than appending
+    keeps re-run sweeps from leaving stale duplicate rows)."""
+    import csv
+    import glob
+    import os
+
+    rows = []
+    all_seeds: List[int] = []
+    for path in sorted(glob.glob(os.path.join(output_dir, "result_*.txt"))):
+        by_seed = {}
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2:
+                    by_seed[int(parts[0])] = float(parts[1])
+        if not by_seed:
+            continue
+        for s in by_seed:
+            if s not in all_seeds:
+                all_seeds.append(s)
+        rows.append((os.path.basename(path), by_seed))
     csv_path = os.path.join(output_dir, "mean_and_range_diff.csv")
-    new = not os.path.exists(csv_path)
-    vals = [by_seed.get(s, -1.0) for s in seeds]
-    rng_diff = (max(vals) - min(vals)) if vals else 0.0
-    with open(csv_path, "a", newline="") as f:
+    with open(csv_path, "w", newline="") as f:
         w = csv.writer(f)
-        if new:
-            w.writerow([""] + ["Mean", "Range Difference"] + list(seeds))
-        w.writerow([name, np.mean(vals) if vals else -1.0, rng_diff] + vals)
+        w.writerow([""] + ["Mean", "Range Difference"] + all_seeds)
+        for name, by_seed in rows:
+            vals = [by_seed.get(s, -1.0) for s in all_seeds if s in by_seed]
+            rng_diff = (max(vals) - min(vals)) if vals else 0.0
+            w.writerow([name, np.mean(vals) if vals else -1.0, rng_diff]
+                       + [by_seed.get(s, "") for s in all_seeds])

@@ -91,13 +91,15 @@ def multihead_attention(
             impl = "small_tp"
         elif (impl == "flash" and sp_mesh is None and tp_mesh is None
                 and _os.environ.get("DNA_TPU_MID_ATTN", "1") != "0"):
-            # KV-resident paired-lane kernel for 512 < S ≤ 4096: keeps the
-            # packed lane layout (no D=64 padding) and full-row softmax in
-            # VMEM. Default ON — validated on real v5e (r4): numerics vs
-            # ref S=1024 fwd err 0.0039, grad errs ≤2% of scale (bf16
-            # tol); fwd+bwd vs the flash kernel (scripts/bench_attn_mid.py,
-            # H=12 D=64): S=1024 5.76 vs 10.28 ms, S=2048 9.69 vs 16.55,
-            # S=4096 13.27 vs 29.04 — 1.8-2.2x.
+            # KV-resident paired-lane kernel for 512 < S ≤ 4096, extended
+            # to S = 8192/16384 by the HD-tiled grid (r5; kill with
+            # DNA_TPU_MID_ATTN_HDT=0). Keeps the packed lane layout (no
+            # D=64 padding) and full-row softmax in VMEM. Default ON —
+            # validated on real v5e (r4): numerics vs ref S=1024 fwd err
+            # 0.0039, grad errs ≤2% of scale (bf16 tol); fwd+bwd vs the
+            # flash kernel (scripts/bench_attn_mid.py, H=12 D=64): S=1024
+            # 5.76 vs 10.28 ms, S=2048 9.69 vs 16.55, S=4096 13.27 vs
+            # 29.04 — 1.8-2.2x.
             from dna_tpu.ops import attention_mid
 
             if attention_mid.supports(S, H, D):

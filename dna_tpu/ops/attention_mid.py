@@ -173,6 +173,190 @@ def _bwd_kernel(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref,
         dv_ref[0, :, tl] += dv_t
 
 
+# ---------------------------------------------------------------------------
+# HD-tiled variant: the in-kernel loop over 128-lane tiles processes each
+# tile INDEPENDENTLY (a tile holds T = 128//D complete heads, and a head's
+# q·kᵀ contracts only over its own lanes), so the tile loop can move onto
+# the grid. Resident VMEM per grid step drops from (full K/V + fp32 dK/dV
+# over all of H·D) to one 128-lane tile's worth — extending the paired-lane
+# layout to S = 8192/16384, where the flash kernel still pays the D=64 2×
+# lane padding (the r2b "head-pairing" lever, VERDICT r4 #5). K/V HBM
+# traffic is unchanged: the K/V block index is constant across the inner
+# q-tile dimension, so Pallas fetches it once per (batch, tile).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_t(slope_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                  n_heads: int, head_dim: int, causal: bool, alibi: bool,
+                  scale: float, q_tile: int):
+    Sq = q_ref.shape[1]
+    S = k_ref.shape[1]
+    T = max(1, 128 // head_dim)
+    t = pl.program_id(1)
+    i = pl.program_id(2)
+    q_off = i * q_tile
+    mask_row = mask_ref[0, 0, :] if mask_ref is not None else None
+    bias, rel = _rel_and_bias(Sq, S, q_off, mask_row, causal, alibi)
+    lane_masks = _lane_head_masks(Sq, T, q_ref.dtype) if T > 1 else None
+    q_cat = _stack(q_ref[0], lane_masks, T)                  # [T·Sq, 128]
+    s = jax.lax.dot_general(
+        q_cat, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [T·Sq, S]
+    s = s + _cat_bias_dyn(bias, rel, slope_ref, t, T, alibi)
+    p = _softmax_p(s)
+    o_cat = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [T·Sq, 128]
+    o_ref[0] = _fold(o_cat, lane_masks, Sq, T).astype(o_ref.dtype)
+
+
+def _bwd_kernel_t(slope_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref,
+                  dq_ref, dk_ref, dv_ref, *, n_heads: int, head_dim: int,
+                  causal: bool, alibi: bool, scale: float, q_tile: int):
+    Sq = q_ref.shape[1]
+    S = k_ref.shape[1]
+    T = max(1, 128 // head_dim)
+    t = pl.program_id(1)
+    i = pl.program_id(2)
+    q_off = i * q_tile
+
+    # dk/dv blocks are revisited across the (sequential) q-tile dimension
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    mask_row = mask_ref[0, 0, :] if mask_ref is not None else None
+    bias, rel = _rel_and_bias(Sq, S, q_off, mask_row, causal, alibi)
+    lane_masks = _lane_head_masks(Sq, T, q_ref.dtype) if T > 1 else None
+    kp = k_ref[0]
+    vp = v_ref[0]
+    q_cat = _stack(q_ref[0], lane_masks, T)
+    do_cat = _stack(do_ref[0], lane_masks, T)
+    o_cat = (jnp.concatenate([o_ref[0]] * T, axis=0) if T > 1 else o_ref[0])
+    s = jax.lax.dot_general(
+        q_cat, kp, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + _cat_bias_dyn(bias, rel, slope_ref, t, T, alibi)
+    p = _softmax_p(s)                                        # [T·Sq, S]
+    pb = p.astype(vp.dtype)
+    delta = jnp.sum(do_cat.astype(jnp.float32)
+                    * o_cat.astype(jnp.float32), axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(do_cat, vp, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta) * scale).astype(q_ref.dtype)      # [T·Sq, S]
+    dq_cat = jax.lax.dot_general(
+        ds, kp, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ref[0] = _fold(dq_cat, lane_masks, Sq, T).astype(dq_ref.dtype)
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q_cat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [S, 128]
+    dv_ref[0] += jax.lax.dot_general(
+        pb, do_cat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _cat_bias_dyn(bias, rel, slope_ref, t, T, alibi):
+    """`_cat_bias` with a *traced* tile index (grid program_id): slopes are
+    loaded with dynamic indexing slope_ref[t·T + j] — scalar-prefetch refs
+    allow dynamic scalar loads."""
+    if not alibi:
+        return jnp.concatenate([bias] * T, axis=0) if T > 1 else bias
+    parts = [bias - slope_ref[t * T + j] * rel for j in range(T)]
+    return jnp.concatenate(parts, axis=0) if T > 1 else parts[0]
+
+
+def _plan_t(S: int, H: int, D: int, direction: str = "bwd"):
+    """q-tile for the HD-tiled grid, or None. Per-(b, t) footprint:
+    double-buffered K/V 128-lane blocks, fp32 dk/dv accumulator blocks
+    (bwd), double-buffered q/do/o/dq tiles, and the live fp32 [T·qt, S]
+    score temporaries (~4 bwd / ~2 fwd)."""
+    import os
+
+    if os.environ.get("DNA_TPU_MID_ATTN_HDT", "1") == "0":
+        return None
+    if not (S % 128 == 0 and (H * D) % 128 == 0 and D <= 128
+            and 128 % D == 0):
+        return None
+    T = max(1, 128 // D)
+    budget = VMEM_LIMIT * 4 // 5
+    n_scores = 4 if direction == "bwd" else 2
+    for qt in (512, 256, 128, 64):
+        if S % qt or qt > S:
+            continue
+        kv = 2 * 2 * S * 128 * 2
+        dkv = 2 * S * 128 * 4 if direction == "bwd" else 0
+        tiles = 4 * 2 * qt * 128 * 2
+        scores = n_scores * T * qt * S * 4
+        if kv + dkv + tiles + scores <= budget:
+            return qt
+    return None
+
+
+def _specs_t(S, qt, with_mask):
+    q_spec = pl.BlockSpec((1, qt, 128), lambda b, t, i, *_: (b, i, t))
+    kv_spec = pl.BlockSpec((1, S, 128), lambda b, t, i, *_: (b, 0, t))
+    in_specs = [q_spec, kv_spec, kv_spec]
+    if with_mask:
+        in_specs.append(
+            pl.BlockSpec((1, 1, S), lambda b, t, i, *_: (b, 0, 0)))
+    return q_spec, kv_spec, in_specs
+
+
+def _fwd_impl_t(q, k, v, mask, slopes, *, n_heads, causal, alibi, scale):
+    B, S, HD = q.shape
+    head_dim = HD // n_heads
+    qt = _plan_t(S, n_heads, head_dim, "fwd")
+    q_spec, kv_spec, in_specs = _specs_t(S, qt, mask is not None)
+    inputs = [q, k, v] + ([mask] if mask is not None else [])
+    kernel = functools.partial(_fwd_kernel_t, n_heads=n_heads,
+                               head_dim=head_dim, causal=causal, alibi=alibi,
+                               scale=scale, q_tile=qt)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, HD // 128, S // qt),
+            in_specs=in_specs, out_specs=q_spec),
+        out_shape=jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(slopes, *inputs)
+
+
+def _bwd_impl_t(q, k, v, mask, slopes, do, o, *, n_heads, causal, alibi,
+                scale):
+    B, S, HD = q.shape
+    head_dim = HD // n_heads
+    qt = _plan_t(S, n_heads, head_dim, "bwd")
+    q_spec, kv_spec, in_specs = _specs_t(S, qt, mask is not None)
+    in_specs.append(q_spec)   # do
+    in_specs.append(q_spec)   # o
+    inputs = ([q, k, v] + ([mask] if mask is not None else []) + [do, o])
+    kernel = functools.partial(_bwd_kernel_t, n_heads=n_heads,
+                               head_dim=head_dim, causal=causal, alibi=alibi,
+                               scale=scale, q_tile=qt)
+    if mask is None:
+        kernel = functools.partial(_mask_none_wrapper, kernel, 4)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, HD // 128, S // qt),
+            in_specs=in_specs, out_specs=(q_spec, kv_spec, kv_spec)),
+        out_shape=(jax.ShapeDtypeStruct((B, S, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, S, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((B, S, HD), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(slopes, *inputs)
+
+
 def _plan(S: int, H: int, D: int):
     """Pick the largest q tile (divisor of S, 128 ≤ qt ≤ 512) whose VMEM
     footprint fits ~4/5 of the scoped budget, or None if none fits.
@@ -186,6 +370,8 @@ def _plan(S: int, H: int, D: int):
     if not (S % 128 == 0 and (H * D) % 128 == 0 and D <= 128
             and 128 % D == 0):
         return None
+    if os.environ.get("DNA_TPU_MID_ATTN_IMPL") == "hdt":
+        return None  # force the HD-tiled grid (tests / A-B probes)
     HD = H * D
     T = max(1, 128 // D)
     env = os.environ.get("DNA_TPU_MID_ATTN_QT")
@@ -222,7 +408,11 @@ def _plan(S: int, H: int, D: int):
 
 
 def supports(S: int, H: int, D: int) -> bool:
-    return _plan(S, H, D) is not None
+    """Resident path (S ≲ 4096 at H·D=768), extended past it by the
+    HD-tiled grid (S = 8192/16384) when that plan fits."""
+    return (_plan(S, H, D) is not None
+            or (_plan_t(S, H, D, "bwd") is not None
+                and _plan_t(S, H, D, "fwd") is not None))
 
 
 def _specs(B, S, HD, qt, with_mask):
@@ -244,6 +434,9 @@ def _fwd_impl(q, k, v, mask, slopes, *, n_heads, causal, alibi, scale):
     B, S, HD = q.shape
     head_dim = HD // n_heads
     qt = _plan(S, n_heads, head_dim)
+    if qt is None:
+        return _fwd_impl_t(q, k, v, mask, slopes, n_heads=n_heads,
+                           causal=causal, alibi=alibi, scale=scale)
     q_spec, kv_spec, in_specs = _specs(B, S, HD, qt, mask is not None)
     inputs = [q, k, v] + ([mask] if mask is not None else [])
     kernel = functools.partial(_fwd_kernel, n_heads=n_heads,
@@ -269,6 +462,9 @@ def _bwd_impl(q, k, v, mask, slopes, do, o, *, n_heads, causal, alibi,
     B, S, HD = q.shape
     head_dim = HD // n_heads
     qt = _plan(S, n_heads, head_dim)
+    if qt is None:
+        return _bwd_impl_t(q, k, v, mask, slopes, do, o, n_heads=n_heads,
+                           causal=causal, alibi=alibi, scale=scale)
     q_spec, kv_spec, in_specs = _specs(B, S, HD, qt, mask is not None)
     in_specs.append(q_spec)   # do
     in_specs.append(q_spec)   # o

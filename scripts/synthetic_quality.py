@@ -50,6 +50,20 @@ N_TRAIN, N_TEST = 2048, 512
 N_FEWSHOT = 96                   # labeled examples for the transfer demo
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
+# multilabel (DeepSEA-format): label j ⇔ motif j present (8 independent
+# Bernoulli(1/2) plants in disjoint L/8 slots). P(false 8-mer) ≈ 25·4⁻⁸
+# per slot ⇒ per-label AUROC ceiling ≈ 1.0.
+ML_MOTIFS = ["TACGGATC", "GATTACAG", "CCGTAAGT", "TGCATGCA",
+             "AGGTCCTA", "CTTAGGAC", "GGATCCGT", "ACGTTGCA"]
+ML_L = 200
+
+# regression (DeepSTARR-format): activity is a deterministic dose response
+# (slope · motif count, count ∈ {0..3}) plus N(0, σ) noise ⇒ Pearson
+# ceiling = sqrt(Var(sig)/(Var(sig)+σ²)) ≈ 0.97 at these settings.
+REG_MOTIF_DEV, REG_MOTIF_HK = "TTACGCAT", "CAGGTAAC"
+REG_SLOPE_DEV, REG_SLOPE_HK, REG_SIGMA = 0.8, 0.6, 0.25
+REG_L = 200
+
 
 def _rand_dna(rng, n):
     return BASES[rng.integers(0, 4, n)].tobytes().decode()
@@ -111,6 +125,223 @@ def write_gb_planted(base):
                     seq = _plant(rng, [TATA] if rng.integers(0, 2) else [GCBOX])
                 (cd / f"{i}.txt").write_text(seq + "\n")
     return str(Path(base) / "gb")
+
+
+def _plant_slots(rng, L, motifs, present):
+    """Random L-mer with motif j planted in slot j iff present[j]."""
+    seq = list(_rand_dna(rng, L))
+    span = L // len(motifs)
+    for j, (m, on) in enumerate(zip(motifs, present)):
+        if not on:
+            continue
+        lo = j * span
+        hi = min((j + 1) * span, L) - len(m)
+        p = int(rng.integers(lo, max(hi, lo + 1)))
+        seq[p:p + len(m)] = list(m)
+    return "".join(seq)
+
+
+def write_deepsea_planted(base):
+    """DeepSEA npz format ({split}_seqs ids + {split}_targets [N, K])."""
+    from pathlib import Path
+
+    from dna_tpu.data.tokenizers import CharTokenizer
+
+    tok = CharTokenizer()
+    K = len(ML_MOTIFS)
+    d = Path(base) / "deepsea"
+    d.mkdir(parents=True, exist_ok=True)
+    arrays = {}
+    for split, rows, seed in (("train", N_TRAIN, 10), ("test", N_TEST, 11)):
+        rng = np.random.default_rng(seed)
+        seqs, targets = [], []
+        for _ in range(rows):
+            present = rng.integers(0, 2, K).astype(bool)
+            seqs.append(tok.encode(_plant_slots(rng, ML_L, ML_MOTIFS,
+                                                present)))
+            targets.append(present.astype(np.float32))
+        arrays[f"{split}_seqs"] = np.stack(seqs)
+        arrays[f"{split}_targets"] = np.stack(targets)
+    path = d / "planted.npz"
+    np.savez(path, **arrays)
+    return str(path)
+
+
+def write_deepstarr_planted(base):
+    """DeepSTARR dir format (Sequences_{Train,Val}.fa + activity tables).
+    Returns (dir, empirical pearson ceiling per channel)."""
+    from pathlib import Path
+
+    d = Path(base) / "deepstarr"
+    ceilings = {}
+    for split, rows, seed in (("Train", N_TRAIN, 20), ("Val", N_TEST, 21)):
+        rng = np.random.default_rng(seed)
+        recs, acts = [], []
+        sig = {"dev": [], "hk": []}
+        for i in range(rows):
+            n_dev = int(rng.integers(0, 4))
+            n_hk = int(rng.integers(0, 4))
+            seq = _plant_slots(
+                rng, REG_L, [REG_MOTIF_DEV] * 3 + [REG_MOTIF_HK] * 3,
+                [True] * n_dev + [False] * (3 - n_dev)
+                + [True] * n_hk + [False] * (3 - n_hk))
+            dev = REG_SLOPE_DEV * n_dev + rng.normal(0, REG_SIGMA)
+            hk = REG_SLOPE_HK * n_hk + rng.normal(0, REG_SIGMA)
+            sig["dev"].append(REG_SLOPE_DEV * n_dev)
+            sig["hk"].append(REG_SLOPE_HK * n_hk)
+            recs.append((f"seq{i}", seq))
+            acts.append((dev, hk))
+        write_fasta(d / f"Sequences_{split}.fa", recs)
+        with open(d / f"Sequences_activity_{split}.txt", "w") as f:
+            f.write("Dev_log2_enrichment\tHk_log2_enrichment\n")
+            for dev, hk in acts:
+                f.write(f"{dev:.6f}\t{hk:.6f}\n")
+        if split == "Val":
+            for ch in ("dev", "hk"):
+                v = np.var(np.asarray(sig[ch]))
+                ceilings[ch] = float(np.sqrt(v / (v + REG_SIGMA ** 2)))
+    return str(d), ceilings
+
+
+def run_multilabel(npz_path):
+    """deepsea_denoise sweep on the planted multilabel task (DeepSEA BCE +
+    mean AUROC, reference `metrics.py:276-285`)."""
+    from dna_tpu.experiments import get_experiment
+    from dna_tpu.finetune import seed_sweep
+
+    K = len(ML_MOTIFS)
+    cfg = get_experiment("deepsea_denoise", TINY + [
+        f"data.dest_path={npz_path}", f"data.max_length={ML_L}",
+        f"data.n_targets={K}", f"model.n_classes={K}",
+        "optimizer.lr=1e-3",
+    ])
+    agg = seed_sweep(cfg, seeds=SEEDS, monitor="val/roc",
+                     host_metrics=("roc",), output_dir=OUT)
+    print(f"deepsea_denoise[planted multilabel]: mean_auroc={agg['mean']:.4f}"
+          f" range=[{agg['min']:.4f}, {agg['max']:.4f}] (ceiling ~1.0)",
+          flush=True)
+    return agg
+
+
+def run_regression(ds_dir, ceilings):
+    """deepstarr_denoise sweep on the planted dose-response regression
+    (customMSE + pearson, reference `metrics.py:326-356`)."""
+    from dna_tpu.experiments import get_experiment
+    from dna_tpu.finetune import seed_sweep
+
+    cfg = get_experiment("deepstarr_denoise", TINY + [
+        f"data.dest_path={ds_dir}", f"data.max_length={REG_L}",
+        "optimizer.lr=1e-3",
+    ])
+    agg = seed_sweep(cfg, seeds=SEEDS, monitor="val/pearsonr_mean",
+                     host_metrics=("pearsonr_mean", "pearsonr_dev",
+                                   "pearsonr_hk"), output_dir=OUT)
+    ceil = (ceilings["dev"] + ceilings["hk"]) / 2
+    print(f"deepstarr_denoise[planted regression]: mean_r={agg['mean']:.4f} "
+          f"range=[{agg['min']:.4f}, {agg['max']:.4f}] "
+          f"(noise ceiling {ceil:.3f})", flush=True)
+    return {**agg, "pearson_ceiling": ceil}
+
+
+class _UnlabeledMLM:
+    """MLM pretraining view of the planted mixture: 80/10/10 BERT masking
+    over char tokens (labels hidden) — the north-star objective
+    (`bert_layers.py:815-833`)."""
+
+    def __init__(self, tokenizer, n=8192, seed=7):
+        rng = np.random.default_rng(seed)
+        self.seqs = []
+        for _ in range(n):
+            y = int(rng.integers(0, 2))
+            self.seqs.append(_plant(rng, [MOTIF_A if y else MOTIF_A_NEG]))
+        self.tok = tokenizer
+
+    def __len__(self):
+        return len(self.seqs)
+
+    def __getitem__(self, i):
+        from dna_tpu.data import masking
+
+        ids = np.asarray(self.tok.encode(self.seqs[i]), np.int32)
+        rng = np.random.default_rng((13, i))
+        masked, mask, labels = masking.bert_mask_numpy(
+            ids, rng, mask_token_id=self.tok.mask_token_id,
+            pad_token_id=self.tok.pad_token_id,
+            vocab_size=self.tok.vocab_size,
+            special_token_ids=self.tok.special_token_ids)
+        return {"input_ids": masked.astype(np.int32), "mask": mask,
+                "labels": labels.astype(np.int32),
+                "attention_mask": np.ones_like(ids, np.int32)}
+
+
+_ESM_TINY = [
+    "model.d_model=64", "model.n_layers=2", "model.n_heads=4",
+    "model.d_ff=128", "model.dtype=float32", "model.remat=false",
+    "data.tokenizer=char", f"data.max_length={L}",
+]
+
+
+def pretrain_mlm_backbone():
+    """Tiny NTv2 (ESM encoder) MLM on the unlabeled planted mixture."""
+    import dataclasses
+
+    import flax.linen as nn
+    from dna_tpu.experiments import build, get_experiment
+    from dna_tpu.train.loop import TrainLoop
+
+    cfg = get_experiment("ntv2_pretrain_50m", _ESM_TINY + [
+        "data.batch_size=32", "train.steps=800", "train.log_every=200",
+        "scheduler.warmup_steps=20", "scheduler.total_steps=800",
+        "optimizer.lr=2e-3", "optimizer.mu_dtype=float32",
+    ])
+    exp = build(cfg)
+    exp = dataclasses.replace(exp, dataset=_UnlabeledMLM(exp.tokenizer))
+    loop = TrainLoop(exp, verbose=False)
+    res = loop.run()
+    last = [h for h in res.history if "loss" in h]
+    print(f"mlm pretrain: final loss {last[-1]['loss']:.4f}" if last else
+          "mlm pretrain: done", flush=True)
+    return jax.device_get(nn.meta.unbox(loop.state.params))
+
+
+def run_mlm_transfer(nt_dir, pre_params):
+    """ntv2_cls few-shot finetune on the planted NT task, scratch vs
+    MLM-pretrained backbone (same seeds) — validates MLM-objective transfer
+    end-to-end, complementing the causal-hyena demo."""
+    import dataclasses
+
+    from dna_tpu.experiments import build, get_experiment
+    from dna_tpu.finetune import seed_sweep
+
+    few = _ESM_TINY + [
+        f"data.dest_path={nt_dir}", "data.dataset_name=H4",
+        "data.batch_size=16", "train.steps=120", "train.eval_every=40",
+        "train.eval_steps=16", "train.log_every=0",
+        "scheduler.warmup_steps=5", "scheduler.total_steps=120",
+        "optimizer.lr=1e-3",
+    ]
+    base = get_experiment("nt_hyena", few)
+    esm_model = dataclasses.replace(
+        get_experiment("ntv2_pretrain_50m", _ESM_TINY).model,
+        name="ntv2_cls", n_classes=2, pool="mean")
+    cfg = dataclasses.replace(base, model=esm_model)
+    exp = build(cfg)
+    train_ds = _Subset(exp.dataset, N_FEWSHOT)
+
+    out = {}
+    for tag, pp in (("scratch", None), ("pretrained", pre_params)):
+        run_cfg = dataclasses.replace(cfg, name=f"nt_ntv2_{tag}")
+        agg = seed_sweep(run_cfg, seeds=SEEDS, monitor="val/mcc",
+                         host_metrics=("mcc", "f1"),
+                         train_dataset=train_ds, pretrained_params=pp,
+                         output_dir=OUT)
+        out[tag] = agg
+        print(f"mlm transfer[{tag}]: mean={agg['mean']:.4f} "
+              f"range=[{agg['min']:.4f}, {agg['max']:.4f}]", flush=True)
+    delta = out["pretrained"]["mean"] - out["scratch"]["mean"]
+    print(f"mlm transfer delta (pretrained - scratch): {delta:+.4f}",
+          flush=True)
+    return {**out, "delta": delta}
 
 
 class _UnlabeledLM:
@@ -257,14 +488,17 @@ def main():
     # SYNTH_PARTS selects stages (the 8-virtual-device CPU mesh can hit XLA
     # collective rendezvous timeouts on small boxes — rerun halves solo
     # with --xla_force_host_platform_device_count=1 if needed)
-    parts = os.environ.get("SYNTH_PARTS", "sweeps,transfer").split(",")
+    parts = os.environ.get(
+        "SYNTH_PARTS",
+        "sweeps,transfer,multilabel,regression,mlm_transfer").split(",")
     os.makedirs(OUT, exist_ok=True)
     nt_dir = write_nt_planted(DATA)
     gb_dir = write_gb_planted(DATA)
     print(f"planted data in {DATA}", flush=True)
     summary = {"seeds": SEEDS, "n_train": N_TRAIN, "n_test": N_TEST,
                "n_fewshot": N_FEWSHOT,
-               "ceilings": {"nt_H4_planted": 1.0, "gb_promoters_planted": 1.0}}
+               "ceilings": {"nt_H4_planted": 1.0, "gb_promoters_planted": 1.0,
+                            "deepsea_planted_auroc": 1.0}}
     path = os.path.join(OUT, "summary.json")
     if os.path.exists(path):
         summary.update(json.load(open(path)))
@@ -275,6 +509,17 @@ def main():
         summary["transfer"] = {k: (v if isinstance(v, float) else
                                    {kk: vv for kk, vv in v.items()})
                                for k, v in run_transfer(nt_dir, pre).items()}
+    if "multilabel" in parts:
+        summary["multilabel"] = run_multilabel(write_deepsea_planted(DATA))
+    if "regression" in parts:
+        ds_dir, ceils = write_deepstarr_planted(DATA)
+        summary["ceilings"]["deepstarr_planted_pearson"] = ceils
+        summary["regression"] = run_regression(ds_dir, ceils)
+    if "mlm_transfer" in parts:
+        pre = pretrain_mlm_backbone()
+        summary["mlm_transfer"] = {
+            k: (v if isinstance(v, float) else dict(v))
+            for k, v in run_mlm_transfer(nt_dir, pre).items()}
     with open(path, "w") as f:
         json.dump(summary, f, indent=1, default=float)
     print(f"artifacts in {OUT}/", flush=True)
