@@ -9,7 +9,7 @@ import numpy as np
 import jax, jax.numpy as jnp
 
 from dna_tpu.ops.flash_attention import flash_attention
-from dna_tpu.ops.attention_ref import attention_ref, alibi_bias
+from dna_tpu.ops.attention_ref import attention_ref as _xla_ref, alibi_bias
 from dna_tpu.ops.attention_mid import mid_attention, supports
 
 
@@ -25,12 +25,20 @@ def timed(f, *args, iters=10):
 
 print("backend:", jax.default_backend(), jax.devices(), flush=True)
 H, D = 12, 64
-CASES = {1024: 16, 2048: 8, 4096: 4}
+CASES = {1024: 16, 2048: 8, 4096: 4, 8192: 2, 16384: 1}
 ss = [int(s) for s in os.environ.get("BENCH_MID_S", "1024,2048,4096").split(",")]
 for S, B in [(s, CASES[s]) for s in ss]:
     assert supports(S, H, D), (S, H, D)
     ks = jax.random.split(jax.random.key(0), 3)
     q, k, v = (jax.random.normal(kk, (B, S, H, D), jnp.bfloat16) for kk in ks)
+    # [B, H, S, S] fp32 ref scores don't fit HBM past S=4096 — validate the
+    # HD-tiled kernel against the (interpret-oracle-tested, hw-run) flash
+    # kernel there instead, bf16 tolerance
+    if S > 4096:
+        attention_ref = lambda q, k, v, bias: flash_attention(
+            q, k, v, alibi=True)
+    else:
+        attention_ref = lambda q, k, v, bias: _xla_ref(q, k, v, bias)
 
     def loss_mid(q, k, v):
         return jnp.sum(mid_attention(q, k, v, alibi=True).astype(jnp.float32) ** 2)

@@ -17,11 +17,12 @@ from dna_tpu.train.step import make_train_step
 size = sys.argv[1] if len(sys.argv) > 1 else "500m"
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 S = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+extra = sys.argv[4:]  # e.g. optimizer.nu_dtype=bfloat16
 
 cfg = get_experiment(f"ntv2_pretrain_{size}", [
     f"data.batch_size={B}", f"data.max_length={S}",
     f"data.num_samples={B*4}",
-])
+] + extra)
 mesh = build_mesh(MeshConfig(dp=1))
 exp = build(cfg, mesh=mesh)
 dummy = jnp.zeros((2, S), jnp.int32)
