@@ -19,7 +19,7 @@ Flow (two phases, both needed):
 FLOPs come from dot ops inside each fusion's called computation (2*M*N*K);
 bytes from operand + output shapes. Convolutions and reductions count as
 bytes-only (their FLOPs are negligible here). Peak numbers are v5e:
-394 TFLOP/s bf16 MXU, 819 GB/s HBM.
+197 TFLOP/s bf16 MXU, 819 GB/s HBM.
 """
 import gzip
 import json
@@ -30,7 +30,7 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PEAK_FLOPS = float(os.environ.get("ROOFLINE_PEAK_FLOPS", 394e12))
+PEAK_FLOPS = float(os.environ.get("ROOFLINE_PEAK_FLOPS", 197e12))  # bf16
 PEAK_BW = float(os.environ.get("ROOFLINE_PEAK_BW", 819e9))
 
 DT = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "s8": 1, "u8": 1, "pred": 1,
@@ -58,40 +58,78 @@ def shape_elems_dims(seg):
     return m.group(1), dims
 
 
+def split_shape_op_args(rest):
+    """'<shape> <op>(<args>), attrs' -> (shape_seg, op, args_seg).
+
+    The shape may itself contain parens (tuple types, layout annotations
+    like {1,0:T(8,128)S(1)}), so the op-args '(' is found by scanning: the
+    first '(' at brace-depth 0 whose preceding char is a word char."""
+    brace = paren = 0
+    for i, c in enumerate(rest):
+        if c == "{":
+            brace += 1
+        elif c == "}":
+            brace -= 1
+        elif c == "(" and brace == 0:
+            if i > 0 and (rest[i - 1].isalnum() or rest[i - 1] in "-_"):
+                # walk back to the start of the op identifier
+                j = i - 1
+                while j > 0 and (rest[j - 1].isalnum() or rest[j - 1] in "-_"):
+                    j -= 1
+                return rest[:j], rest[j:i], rest[i:]
+            paren += 1
+        elif c == ")" and brace == 0:
+            paren -= 1
+    return rest, "", ""
+
+
 def parse_module(txt):
-    """name -> (output_bytes, operand_names, flops, op_kind) per instruction,
-    plus computation -> [instruction names]."""
-    inst = {}
-    comp_of = {}
+    """comps: comp -> {name -> rec}; entry: name of the ENTRY computation.
+    rec = dict(out_b, dims, ops, flops, kind, calls). Names repeat across
+    fused computations, so everything is computation-scoped; HLO text is
+    topologically ordered, so operand lookups resolve within the pass."""
+    comps = {}
     cur_comp = None
+    entry = None
     for line in txt.splitlines():
-        mc = re.match(r"\s*%?([\w.\-]+)\s*(?:\([^)]*\))?\s*->.*\{$", line)
-        if line.rstrip().endswith("{") and not line.lstrip().startswith("ROOT"):
-            mh = re.match(r"\s*(ENTRY\s+)?%?([\w.\-]+)", line)
-            if mh:
+        if line and not line[0].isspace() and line.rstrip().endswith("{"):
+            # computation headers sit at column 0: `%fused_computation.N
+            # (params) -> shape {` / `ENTRY %main.N (...) {`
+            mh = re.match(r"(ENTRY\s+)?%?([\w.\-]+)", line)
+            if mh and mh.group(2) not in ("HloModule",):
                 cur_comp = mh.group(2)
+                comps.setdefault(cur_comp, {})
+                if mh.group(1):
+                    entry = cur_comp
         m = re.match(r"\s+(ROOT\s+)?%?([\w.\-]+) = (.*)", line)
-        if not m:
+        if not m or cur_comp is None:
             continue
         name, rest = m.group(2), m.group(3)
-        out_b = shape_bytes(rest.split("(")[0])
-        # operands: %name tokens inside the first (...) argument list
-        argseg = rest[rest.find("("):] if "(" in rest else ""
-        ops = re.findall(r"%([\w.\-]+)", argseg)
-        opm = re.match(r"(?:\([^)]*\)\s*)?[\w\[\],\s{}]*?\b([\w\-]+)\(", rest)
-        kind = ""
-        km = re.search(r"\b(dot|fusion|convolution|custom-call|reduce|"
-                       r"all-reduce|copy|transpose|scatter|gather|"
-                       r"dynamic-slice|dynamic-update-slice|select-and-scatter"
-                       r")\(", rest)
-        if km:
-            kind = km.group(1)
+        shape_seg, kind, argseg = split_shape_op_args(rest)
+        out_b = shape_bytes(shape_seg)
+        _, dims = shape_elems_dims(shape_seg)
+        # operand names: %name tokens in the args list only (not attrs)
+        depth = 0
+        arg_end = len(argseg) - 1
+        for i, c in enumerate(argseg):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    arg_end = i
+                    break
+        args_only = argseg[:arg_end + 1]
+        ops = re.findall(r"%([\w.\-]+)", args_only)
         flops = 0
         if kind == "dot":
-            # 2 * out_elems * K;  K = product of lhs contracting dims
-            _, out_dims = shape_elems_dims(rest.split("(")[0])
-            lhs_seg = argseg.split(",")[0] if argseg else ""
-            _, lhs_dims = shape_elems_dims(lhs_seg)
+            # 2 * out_elems * K;  K = product of lhs contracting dims,
+            # lhs shape from the operand's definition in this computation
+            lhs_dims = []
+            if ops:
+                lhs_rec = comps[cur_comp].get(ops[0])
+                if lhs_rec:
+                    lhs_dims = lhs_rec["dims"]
             cm = re.search(r"lhs_contracting_dims=\{([\d,]*)\}", rest)
             k = 1
             if cm and lhs_dims:
@@ -101,39 +139,70 @@ def parse_module(txt):
                         if ci < len(lhs_dims):
                             k *= lhs_dims[ci]
             out_elems = 1
-            for d in out_dims:
+            for d in dims:
                 out_elems *= d
             flops = 2 * out_elems * k
+        elif kind == "convolution":
+            # XLA TPU lowers matmuls to convolutions: flops =
+            # 2 * out_elems * kernel_elems / out_features (the kernel dim
+            # labeled 'o' in dim_labels=<in>_<kernel>-><out>)
+            k_dims = []
+            if len(ops) > 1:
+                k_rec = comps[cur_comp].get(ops[1])
+                if k_rec:
+                    k_dims = k_rec["dims"]
+            dm = re.search(r"dim_labels=\w+_(\w+)->\w+", rest)
+            out_elems = 1
+            for d in dims:
+                out_elems *= d
+            if dm and k_dims:
+                k_elems = 1
+                for d in k_dims:
+                    k_elems *= d
+                o_pos = dm.group(1).find("o")
+                o_dim = k_dims[o_pos] if 0 <= o_pos < len(k_dims) else 1
+                flops = 2 * out_elems * k_elems // max(o_dim, 1)
         calls = None
         cm = re.search(r"calls=%?([\w.\-]+)", rest)
         if cm:
             calls = cm.group(1)
-        inst[name] = dict(out_b=out_b, ops=ops, flops=flops, kind=kind,
-                          calls=calls, comp=cur_comp)
-        comp_of.setdefault(cur_comp, []).append(name)
-    return inst, comp_of
+        comps[cur_comp][name] = dict(out_b=out_b, dims=dims, ops=ops,
+                                     flops=flops, kind=kind, calls=calls)
+    return comps, entry
 
 
-def fusion_flops(name, inst, comp_of, seen=None):
-    seen = seen or set()
-    rec = inst.get(name)
-    if rec is None or name in seen:
+def comp_flops(comp, comps, seen=None):
+    """Total dot FLOPs in a computation, recursing through nested calls."""
+    seen = seen if seen is not None else set()
+    if comp in seen or comp not in comps:
         return 0
-    seen.add(name)
-    f = rec["flops"]
-    if rec["calls"]:
-        for sub in comp_of.get(rec["calls"], []):
-            f += fusion_flops(sub, inst, comp_of, seen)
+    seen.add(comp)
+    f = 0
+    for rec in comps[comp].values():
+        f += rec["flops"]
+        if rec["calls"]:
+            f += comp_flops(rec["calls"], comps, seen)
     return f
 
 
-def entry_io_bytes(name, inst):
-    rec = inst.get(name)
+def fusion_flops(name, comps, entry):
+    rec = comps.get(entry, {}).get(name)
+    if rec is None:
+        return 0
+    f = rec["flops"]
+    if rec["calls"]:
+        f += comp_flops(rec["calls"], comps)
+    return f
+
+
+def entry_io_bytes(name, comps, entry):
+    ent = comps.get(entry, {})
+    rec = ent.get(name)
     if rec is None:
         return 0
     reads = 0
     for op in rec["ops"]:
-        o = inst.get(op)
+        o = ent.get(op)
         if o is not None:
             reads += o["out_b"]
     return reads + rec["out_b"]
@@ -210,20 +279,20 @@ def main():
     loader = ShardedLoader(exp.dataset, B, seed=0)
     batch = next(iter(loader))
     txt = step.jitted.lower(state, batch).compile().as_text()
-    inst, comp_of = parse_module(txt)
+    comps, entry = parse_module(txt)
 
     times, counts, srcs, path = trace_times(root, n_steps)
     print(f"# trace: {path}")
     rows = []
     matched = unmatched = 0.0
     for name, ms in times.items():
-        rec = inst.get(name)
+        rec = comps.get(entry, {}).get(name)
         if rec is None:
             unmatched += ms
             continue
         matched += ms
-        fl = fusion_flops(name, inst, comp_of)
-        io = entry_io_bytes(name, inst)
+        fl = fusion_flops(name, comps, entry)
+        io = entry_io_bytes(name, comps, entry)
         t_c = fl / PEAK_FLOPS * 1e3
         t_m = io / PEAK_BW * 1e3
         sol = max(t_c, t_m)

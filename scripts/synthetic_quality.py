@@ -407,7 +407,11 @@ def run_sweeps(nt_dir, gb_dir):
         ("genomic_benchmark",
          [f"data.dest_path={gb_dir}", "data.dataset_name=demo_promoters",
           "model.hyena_filter_emb_dim=5", "model.hyena_filter_order=16",
-          "optimizer.lr=1e-3"], "val/mcc", ("mcc", "acc")),
+          # 1e-3/250 left seed 45 at MCC 0.402 (same symptom as the
+          # denoisecnn 3e-3 divergence); 5e-4 + 500 steps: mean 0.868,
+          # min 0.812 across the 5 seeds (r5 chase)
+          "optimizer.lr=5e-4", "train.steps=500", "train.eval_every=50",
+          "scheduler.total_steps=500"], "val/mcc", ("mcc", "acc")),
     ]
     for exp_name, extra, monitor, host_metrics in sweeps:
         cfg = get_experiment(exp_name, TINY + extra)
