@@ -126,11 +126,13 @@ def _ntv2_pretrain(size: str) -> ExperimentConfig:
         data=DataConfig(dataset="dnabert2", tokenizer="kmer",
                         max_length=128, batch_size=512),
         task=TaskConfig(name="mlm"),
-        # bf16 first moment: at 500m the fp32 optimizer update is ~19 ms of
-        # a 226 ms step (r4 device trace, pure HBM traffic) — bf16 m cuts
-        # ~4 ms and is loss-neutral (see dnabert2_pretrain note)
+        # bf16 Adam moments: at 500m the fp32 optimizer update is ~19 ms of
+        # a 226 ms step (r4 device trace, pure HBM traffic) — bf16 m/v cut
+        # state traffic in half and are loss-neutral (1000-step flagship
+        # 3-arm A/B, see dnabert2_pretrain note + results/mu_ab/)
         optimizer=OptimizerConfig(name="adamw", lr=6e-4, weight_decay=1e-5,
-                                  mu_dtype="bfloat16"),
+                                  mu_dtype="bfloat16",
+                                  nu_dtype="bfloat16"),
         scheduler=SchedulerConfig(name="cosine_warmup", warmup_steps=10_000,
                                   total_steps=1_000_000, min_lr_ratio=0.0),
         train=TrainConfig(steps=1000),

@@ -50,12 +50,15 @@ def dnabert2_pretrain() -> ExperimentConfig:
         data=DataConfig(dataset="dnabert2", tokenizer="bpe", max_length=128,
                         batch_size=512, mlm_probability=0.15),
         task=TaskConfig(name="mlm"),
-        # mu_dtype: bf16 first moment halves Adam-m HBM traffic (84.3 ->
-        # 83.6 ms/step on v5e) and is loss-neutral — 300-step tiny-model
-        # A/B trajectories overlap (final-loss diff 6e-4, r4);
-        # optimizer.mu_dtype=float32 restores exact reference numerics.
+        # bf16 Adam moments halve the optimizer-state HBM traffic
+        # (mu: 84.3 -> 83.6 ms/step r4; nu: 123.1 -> 122.6 at B=192 r5)
+        # and are loss-neutral: 1000-step flagship 3-arm A/B
+        # (results/mu_ab/) — fp32 8.0705 vs mu-bf16 8.0747 vs mu+nu-bf16
+        # 8.0758. optimizer.{mu,nu}_dtype=float32 restores exact
+        # reference numerics.
         optimizer=OptimizerConfig(name="adamw", lr=5e-4, weight_decay=1e-5,
-                                  mu_dtype="bfloat16"),
+                                  mu_dtype="bfloat16",
+                                  nu_dtype="bfloat16"),
         scheduler=SchedulerConfig(name="linear_warmup", warmup_steps=120_000,
                                   total_steps=2_000_000),
         train=TrainConfig(steps=1000),
