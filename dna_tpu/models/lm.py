@@ -366,6 +366,15 @@ def _hyena_cls(cfg: ModelConfig, l_max: Optional[int] = None):
     return DNAEmbeddingModel(cfg, l_max=l_max or cfg.max_len, causal=True)
 
 
+@registry.model.register("hyena_blm_cls")
+def _hyena_blm_cls(cfg: ModelConfig, l_max: Optional[int] = None):
+    """Bidirectional-backbone classifier: finetune head for `hyena_blm`
+    MLM pretrains (reference bert_hg38 lineage, `long_conv_lm.py:578-682`
+    + `DNAEmbeddingModel` finetune wiring `long_conv_lm.py:853-911` — the
+    backbone subtree transfers 1:1, only causality differs)."""
+    return DNAEmbeddingModel(cfg, l_max=l_max or cfg.max_len, causal=False)
+
+
 @registry.model.register("transformer_lm")
 def _transformer_lm(cfg: ModelConfig, l_max: Optional[int] = None):
     return LMHeadModel(cfg, attn_layer_idx=tuple(range(cfg.n_layers)),

@@ -317,11 +317,15 @@ def run_mlm_transfer(nt_dir, pre_params):
     from dna_tpu.experiments import build, get_experiment
     from dna_tpu.finetune import seed_sweep
 
+    # keep the epoch count comparable across shot counts: 240 steps at
+    # 96-shot/batch-16 is ~40 epochs
+    steps = int(os.environ.get("SYNTH_FT_STEPS",
+                               str(240 * max(1, N_FEWSHOT // 96))))
     few = _ESM_TINY + [
         f"data.dest_path={nt_dir}", "data.dataset_name=H4",
-        "data.batch_size=16", "train.steps=240", "train.eval_every=40",
+        "data.batch_size=16", f"train.steps={steps}", "train.eval_every=40",
         "train.eval_steps=16", "train.log_every=0",
-        "scheduler.warmup_steps=5", "scheduler.total_steps=240",
+        "scheduler.warmup_steps=5", f"scheduler.total_steps={steps}",
         "optimizer.lr=1e-3",
     ]
     base = get_experiment("nt_hyena", few)
@@ -345,6 +349,76 @@ def run_mlm_transfer(nt_dir, pre_params):
     delta = out["pretrained"]["mean"] - out["scratch"]["mean"]
     print(f"mlm transfer delta (pretrained - scratch): {delta:+.4f}",
           flush=True)
+    return {**out, "delta": delta}
+
+
+_HYENA_TINY = [
+    "model.d_model=64", "model.n_layers=2", "model.d_ff=128",
+    "model.dtype=float32", "model.hyena_filter_emb_dim=5",
+    "model.hyena_filter_order=16", f"data.max_length={L}",
+    "model.max_len=128",
+]
+
+
+def pretrain_mlm_hyena():
+    """Tiny bidirectional-hyena MLM (`hg38_bert` / reference bert_hg38
+    lineage) on the unlabeled planted mixture."""
+    import dataclasses
+
+    import flax.linen as nn
+    from dna_tpu.experiments import build, get_experiment
+    from dna_tpu.train.loop import TrainLoop
+
+    cfg = get_experiment("hg38_bert", _HYENA_TINY + [
+        "data.batch_size=32", "train.steps=1600", "train.log_every=400",
+        "scheduler.warmup_steps=40", "scheduler.total_steps=1600",
+        "optimizer.lr=2e-3",
+    ])
+    exp = build(cfg)
+    exp = dataclasses.replace(exp, dataset=_UnlabeledMLM(exp.tokenizer))
+    loop = TrainLoop(exp, verbose=False)
+    res = loop.run()
+    last = [h for h in res.history if "loss" in h]
+    print(f"hyena-mlm pretrain: final loss {last[-1]['loss']:.4f}" if last
+          else "hyena-mlm pretrain: done", flush=True)
+    return jax.device_get(nn.meta.unbox(loop.state.params))
+
+
+def run_mlm_transfer_hyena(nt_dir, pre_params):
+    """hyena_blm_cls few-shot finetune on the planted NT task, scratch vs
+    MLM-pretrained bidirectional-hyena backbone: the MLM-objective transfer
+    demo on the backbone family that learns at this scale (the tiny-ESM arm
+    is protocol-fragile — its MCC sits at the measurement floor)."""
+    import dataclasses
+
+    from dna_tpu.experiments import build, get_experiment
+    from dna_tpu.finetune import seed_sweep
+
+    few = _HYENA_TINY + [
+        f"data.dest_path={nt_dir}", "data.dataset_name=H4",
+        "data.batch_size=16", "train.steps=240", "train.eval_every=40",
+        "train.eval_steps=16", "train.log_every=0",
+        "scheduler.warmup_steps=5", "scheduler.total_steps=240",
+        "optimizer.lr=1e-3",
+    ]
+    base = get_experiment("nt_hyena", few)
+    cfg = dataclasses.replace(
+        base, model=dataclasses.replace(base.model, name="hyena_blm_cls"))
+    exp = build(cfg)
+    train_ds = _Subset(exp.dataset, N_FEWSHOT)
+
+    out = {}
+    for tag, pp in (("scratch", None), ("pretrained", pre_params)):
+        run_cfg = dataclasses.replace(cfg, name=f"nt_hyenablm_{tag}")
+        agg = seed_sweep(run_cfg, seeds=SEEDS, monitor="val/mcc",
+                         host_metrics=("mcc", "f1"),
+                         train_dataset=train_ds, pretrained_params=pp,
+                         output_dir=OUT)
+        out[tag] = agg
+        print(f"hyena-mlm transfer[{tag}]: mean={agg['mean']:.4f} "
+              f"range=[{agg['min']:.4f}, {agg['max']:.4f}]", flush=True)
+    delta = out["pretrained"]["mean"] - out["scratch"]["mean"]
+    print(f"hyena-mlm transfer delta: {delta:+.4f}", flush=True)
     return {**out, "delta": delta}
 
 
@@ -498,7 +572,8 @@ def main():
     # with --xla_force_host_platform_device_count=1 if needed)
     parts = os.environ.get(
         "SYNTH_PARTS",
-        "sweeps,transfer,multilabel,regression,mlm_transfer").split(",")
+        "sweeps,transfer,multilabel,regression,mlm_transfer,"
+        "mlm_transfer_hyena").split(",")
     os.makedirs(OUT, exist_ok=True)
     nt_dir = write_nt_planted(DATA)
     gb_dir = write_gb_planted(DATA)
@@ -528,6 +603,11 @@ def main():
         summary["mlm_transfer"] = {
             k: (v if isinstance(v, float) else dict(v))
             for k, v in run_mlm_transfer(nt_dir, pre).items()}
+    if "mlm_transfer_hyena" in parts:
+        pre = pretrain_mlm_hyena()
+        summary["mlm_transfer_hyena"] = {
+            k: (v if isinstance(v, float) else dict(v))
+            for k, v in run_mlm_transfer_hyena(nt_dir, pre).items()}
     with open(path, "w") as f:
         json.dump(summary, f, indent=1, default=float)
     print(f"artifacts in {OUT}/", flush=True)
