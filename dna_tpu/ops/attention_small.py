@@ -856,6 +856,12 @@ def supports(S: int, H: int, D: int) -> bool:
     temporaries) fit the ~16 MB VMEM budget at G=1. The tile/packed-QKV
     kernels hold stacked [T·S, S] fp32 temporaries (T heads per 128-lane
     tile), so the temporaries term scales with T."""
+    if not (128 % D == 0 or D % 128 == 0):
+        # head slices must be lane-aligned: at e.g. D=48 (NTv2-250M,
+        # 768/16) every [S, D] sub-tile slice forces a Mosaic relayout —
+        # measured 44 ms of a 124 ms step (r5 250m trace) vs ~7 ms on the
+        # ref path. Let the XLA reference attention serve these shapes.
+        return False
     T = max(1, 128 // D) if 128 % D == 0 else 1
     # v2 precomputes ALL n_t fp32 [T·S, S] tile biases once per invocation
     # and keeps them live across the batch-group loop (`_tile_biases`), so
