@@ -193,3 +193,32 @@ def _remat_policy(name: str):
     if name == "dots_no_batch":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     raise ValueError(f"unknown remat policy {name!r}")
+
+
+def causal_depthwise_conv(x: jax.Array, w: jax.Array,
+                          b: Optional[jax.Array] = None) -> jax.Array:
+    """Depthwise causal 1-D conv as K shifted multiply-adds.
+
+    `x` [B, L, C], `w` [C, K], optional `b` [C]; output [B, L, C] equals
+    `lax.conv_general_dilated(x, w[:, None, :], padding=(K-1, 0),
+    feature_group_count=C)` exactly (same tap summation order).
+
+    Why not the conv op: XLA's grouped-convolution WEIGHT-GRAD emitter is
+    pathological on TPU for K≪L depthwise shapes — the r5 hyena L=65536
+    trace showed the [C, 1, K] dW fusions running at 12.7% of HBM
+    speed-of-light (~1.9 ms each per layer). Expressed as shifts, the
+    forward fuses into neighboring elementwise work and each tap's dW is
+    a clean full-bandwidth multiply-reduce; the tap loop is unrolled
+    (K is 3-4 for every genomics config: hyena short filter, mamba
+    causal_conv1d — reference `src/models/sequence/hyena.py:27-40`,
+    `mamba_ssm/ops/selective_scan_interface.py` causal_conv1d)."""
+    K = w.shape[-1]
+    L = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (K - 1, 0), (0, 0)))
+    out = None
+    for k in range(K):
+        term = xp[:, k:k + L, :] * w[:, k][None, None, :]
+        out = term if out is None else out + term
+    if b is not None:
+        out = out + b
+    return out

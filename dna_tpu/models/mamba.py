@@ -121,11 +121,12 @@ class MambaCore(nn.Module):
             self.A_log, self.ssm_D)
 
         x_pre = x  # pre-conv activations (the conv window state)
-        x = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), conv_w[:, None, :].astype(self.dtype),
-            window_strides=(1,), padding=[(self.d_conv - 1, 0)],
-            dimension_numbers=("NLC", "OIL", "NLC"), feature_group_count=di,
-        ) + conv_b.astype(self.dtype)
+        from dna_tpu.models.layers import causal_depthwise_conv
+
+        # K shifted multiply-adds, NOT lax.conv — see causal_depthwise_conv
+        x = causal_depthwise_conv(
+            x.astype(self.dtype), conv_w.astype(self.dtype),
+            conv_b.astype(self.dtype))
         x = jax.nn.silu(x)
 
         x_dbl = self.x_proj(x)
