@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dna_tpu.ops.attention_ref import alibi_slopes
+from dna_tpu.ops.attention_small import VMEM_LIMIT
 
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
@@ -414,7 +415,8 @@ def _fwd_impl_stream(q, k, v, mask, slopes, q_offset, *, causal, alibi,
                    jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(slopes, q_offset, *inputs)
     return o, lse
@@ -456,7 +458,8 @@ def _bwd_impl_stream(q, k, v, mask, slopes, q_offset, o, lse, do, *, causal,
         out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(slopes, q_offset, *inputs, do, lse, delta)
 
@@ -486,7 +489,8 @@ def _bwd_impl_stream(q, k, v, mask, slopes, q_offset, o, lse, do, *, causal,
                    jax.ShapeDtypeStruct((B, H, Sk, D), v.dtype)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(slopes, q_offset, *inputs, do, lse, delta)
     return dq, dk, dv
@@ -534,7 +538,8 @@ def _fwd_impl(q, k, v, mask, slopes, q_offset, *, causal, alibi, scale):
             out_specs=out_specs),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(slopes, q_offset, *inputs)
     return o, lse
@@ -590,7 +595,8 @@ def _bwd_impl(q, k, v, mask, slopes, q_offset, o, lse, do, *, causal, alibi,
             in_specs=in_specs, out_specs=qtile),
         out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(slopes, q_offset, *inputs, do, lse, delta)
 
@@ -614,7 +620,8 @@ def _bwd_impl(q, k, v, mask, slopes, q_offset, o, lse, do, *, causal, alibi,
         out_shape=(jax.ShapeDtypeStruct((B, H, Sk, D), k.dtype),
                    jax.ShapeDtypeStruct((B, H, Sk, D), v.dtype)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(slopes, q_offset, *inputs, do, lse, delta)
     return dq, dk, dv
