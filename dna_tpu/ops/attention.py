@@ -89,8 +89,13 @@ def multihead_attention(
             # tp>1: shard_map the kernel over the head axis (a bare custom
             # call would be replicated by GSPMD and all-gather the heads)
             impl = "small_tp"
-        elif (impl == "flash" and sp_mesh is None and tp_mesh is None
+        elif (impl in ("ref", "flash") and S >= min_s
+                and sp_mesh is None and tp_mesh is None
                 and _os.environ.get("DNA_TPU_MID_ATTN", "1") != "0"):
+            # checked for BOTH ref and flash eligibility: shapes the flash
+            # kernel refuses (e.g. D=32 — hg38_transformer) but mid
+            # supports (any D dividing 128) were silently running the
+            # materialized ref path at long S before r5
             # KV-resident paired-lane kernel for 512 < S ≤ 4096, extended
             # to S = 8192/16384 by the HD-tiled grid (r5; kill with
             # DNA_TPU_MID_ATTN_HDT=0). Keeps the packed lane layout (no
